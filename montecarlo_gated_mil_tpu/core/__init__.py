@@ -1,0 +1,10 @@
+from montecarlo_gated_mil_tpu.core.bag import Bag, BucketSpec  # noqa: F401
+from montecarlo_gated_mil_tpu.core.config import (  # noqa: F401
+    Config,
+    DataConfig,
+    SchedulerConfig,
+    TrainingParameters,
+    TrainingPlan,
+    TpuConfig,
+    load_config,
+)

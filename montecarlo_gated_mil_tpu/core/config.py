@@ -1,0 +1,226 @@
+"""Typed configuration schema.
+
+Mirrors the single-YAML config of the reference (``/root/reference/config.yml:1-57``,
+loaded as a raw dict at ``/root/reference/main.py:27-28``) but as validated
+dataclasses.  The loader accepts the reference YAML verbatim — including its
+dash-keys (``is_MCDO-val``/``is_MCDO-test``) — plus an optional ``tpu:`` section
+with TPU-native knobs (bag buckets, dtype, mesh) that have no reference
+counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import yaml
+
+_BACKBONES = ("r18", "r34", "r50")
+_CRITERIA = ("ce", "bce")
+_OPTIMIZERS = ("adam", "sgd")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Schema of the ``data:`` block (``/root/reference/config.yml:16-37``)."""
+
+    fraction_train_rest: float = 0.75
+    fraction_val_test: float = 0.5
+    root_path: str = ""
+    metadata_path: str = ""
+    view: tuple[str, ...] = ("CC", "MLO")
+    size: tuple[int, int] = (7036, 2800)
+    H: int = 7036
+    W: int = 2800
+    multimodal: bool = True
+    class_names: tuple[str, ...] = ("No cancer", "Cancer")
+    patch_size: int = 224
+    bag_size_train: int = -1
+    empty_threshold: float = 0.75
+    bag_size_val_test: int = -1
+    overlap_train: float = 0.5
+    overlap_val_test: float = 0.75
+    cv_folds: int = 5
+    fraction_test: float = 0.15
+
+    def validate(self) -> None:
+        if self.patch_size <= 0:
+            raise ValueError(f"patch_size must be positive, got {self.patch_size}")
+        for name in ("overlap_train", "overlap_val_test"):
+            v = getattr(self, name)
+            if not 0.0 <= v < 1.0:
+                raise ValueError(f"{name} must be in [0, 1), got {v}")
+        if not 0.0 <= self.empty_threshold <= 1.0:
+            raise ValueError(
+                f"empty_threshold must be in [0, 1], got {self.empty_threshold}"
+            )
+        for name in ("bag_size_train", "bag_size_val_test"):
+            v = getattr(self, name)
+            if v == 0 or v < -1:
+                # The reference rejects sizes other than -1 / positive
+                # (image_patcher.py:127-128 'Invalid bag size').
+                raise ValueError(f"{name} must be -1 or positive, got {v}")
+        if self.cv_folds < 2:
+            raise ValueError(f"cv_folds must be >= 2, got {self.cv_folds}")
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """``training_plan.scheduler`` block (``/root/reference/config.yml:53-57``).
+
+    Declared-but-unused in the reference; here it is actually wired into the
+    optimizer factory (see ``train/optim.py``).  ``name='none'`` disables it.
+    """
+
+    name: str = "none"  # 'none' | 'lin' | 'step' | 'cosine'
+    step_size: int = 100
+    gamma: float = 0.9
+
+
+@dataclass(frozen=True)
+class TrainingParameters:
+    """``training_plan.parameters`` (``/root/reference/config.yml:41-48``)."""
+
+    batch_size: int = 1
+    num_workers: int = 8
+    lr: float = 0.001
+    wd: float = 0.001
+    epochs: int = 1000
+    patience: int = 50
+    grad_acc_steps: int = 2
+
+
+@dataclass(frozen=True)
+class TrainingPlan:
+    """``training_plan:`` block (``/root/reference/config.yml:39-57``)."""
+
+    weighted_sampler: bool = True
+    parameters: TrainingParameters = field(default_factory=TrainingParameters)
+    criterion: str = "ce"
+    optimizer: str = "sgd"
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+
+    def validate(self) -> None:
+        if self.criterion.lower() not in _CRITERIA:
+            raise ValueError(f"criterion must be one of {_CRITERIA}")
+        if self.optimizer.lower() not in _OPTIMIZERS:
+            raise ValueError(f"optimizer must be one of {_OPTIMIZERS}")
+
+
+@dataclass(frozen=True)
+class TpuConfig:
+    """TPU-native knobs (no reference counterpart).
+
+    - ``buckets``: allowed padded bag sizes; each bag is padded to the smallest
+      bucket >= its instance count so XLA compiles one program per bucket
+      instead of one per bag size.
+    - ``compute_dtype``: activations dtype for the backbone ('bfloat16' feeds
+      the MXU at full rate; 'float32' for parity tests).
+    - ``mesh_data`` / ``mesh_inst``: logical device-mesh extents for
+      bag-data-parallelism and intra-bag instance sharding.
+    """
+
+    buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
+    compute_dtype: str = "float32"
+    param_dtype: str = "float32"
+    mesh_data: int = -1  # -1: all devices on the data axis
+    mesh_inst: int = 1
+    donate_buffers: bool = True
+    use_pallas_attention: bool = True
+
+    def validate(self) -> None:
+        if not self.buckets or any(b <= 0 for b in self.buckets):
+            raise ValueError(f"buckets must be positive, got {self.buckets}")
+        if list(self.buckets) != sorted(set(self.buckets)):
+            raise ValueError(f"buckets must be strictly increasing, got {self.buckets}")
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config; field-for-field superset of the reference YAML."""
+
+    neptune: bool = False  # enables the experiment-tracking sink
+    seed: int = 42
+    device: str = "tpu"
+    model_path: str = "/tmp/mcgmil_models"
+    model: str = "r18"
+    model_id: str = ""
+    shared_att: bool = False
+    is_mcdo_val: bool = False
+    is_mcdo_test: bool = True
+    N: int = 50  # number of Monte-Carlo dropout samples (T)
+    feature_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    data: DataConfig = field(default_factory=DataConfig)
+    training_plan: TrainingPlan = field(default_factory=TrainingPlan)
+    tpu: TpuConfig = field(default_factory=TpuConfig)
+
+    def validate(self) -> "Config":
+        if self.model not in _BACKBONES:
+            raise ValueError(f"model must be one of {_BACKBONES}, got {self.model!r}")
+        if self.N <= 0:
+            raise ValueError(f"N (MC samples) must be positive, got {self.N}")
+        for name in ("feature_dropout", "attention_dropout"):
+            v = getattr(self, name)
+            if not 0.0 <= v < 1.0:
+                raise ValueError(f"{name} must be in [0, 1), got {v}")
+        self.data.validate()
+        self.training_plan.validate()
+        self.tpu.validate()
+        return self
+
+
+def _coerce(cls: type, raw: dict[str, Any]) -> Any:
+    """Build a dataclass from a raw dict, recursing into nested dataclasses."""
+    kwargs: dict[str, Any] = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(raw) - set(fields)
+    if unknown:
+        raise ValueError(f"Unknown {cls.__name__} keys: {sorted(unknown)}")
+    for name in fields:
+        if name not in raw:
+            continue
+        value = raw[name]
+        target = _NESTED.get((cls, name))
+        if target is not None and isinstance(value, dict):
+            value = _coerce(target, value)
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[name] = value
+    return cls(**kwargs)
+
+
+_NESTED: dict[tuple[type, str], type] = {
+    (Config, "data"): DataConfig,
+    (Config, "training_plan"): TrainingPlan,
+    (Config, "tpu"): TpuConfig,
+    (TrainingPlan, "parameters"): TrainingParameters,
+    (TrainingPlan, "scheduler"): SchedulerConfig,
+}
+
+# Reference YAML uses dash-keys (config.yml:10-11); map them to field names.
+_KEY_ALIASES = {
+    "is_MCDO-val": "is_mcdo_val",
+    "is_MCDO-test": "is_mcdo_test",
+}
+
+
+def config_from_dict(raw: dict[str, Any]) -> Config:
+    """Build a validated :class:`Config` from a raw (reference-style) dict."""
+    raw = {_KEY_ALIASES.get(k, k): v for k, v in raw.items()}
+    return _coerce(Config, raw).validate()
+
+
+def load_config(path: str) -> Config:
+    """Load and validate a YAML config file (reference schema accepted verbatim)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    if not isinstance(raw, dict):
+        raise ValueError(f"Config file {path} did not parse to a mapping")
+    return config_from_dict(raw)
+
+
+def config_to_dict(cfg: Config) -> dict[str, Any]:
+    """Round-trip a Config back to a plain dict (for logging sinks)."""
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,184 @@
+"""On-device mammogram tiling into padded fixed-bucket bags.
+
+TPU-native re-design of the reference's host-side Python patcher
+(``/root/reference/image_patcher.py:7-131``): the per-tile Python loop that
+crops and fill-scores tiles one by one (``image_patcher.py:51-53``) becomes a
+single vmapped ``lax.dynamic_slice`` gather plus vectorized reductions, and
+the ragged "keep tiles above the fill threshold" selection
+(``image_patcher.py:115-131``) becomes a static-shape ``lax.top_k`` into a
+bucket with a validity mask.  Everything after grid construction runs under
+``jit`` on device.
+
+Tile-grid geometry is identical to the reference (``image_patcher.py:16-41``):
+stride ``int(patch_size * (1 - overlap))``, final tile snapped to the image
+border, row-major (y outer, x inner) enumeration, each tile recorded as
+``(y, x, h, w, i, j)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_gated_mil_tpu.core.bag import Bag
+
+
+@dataclass(frozen=True)
+class TileGrid:
+    """Static tile geometry for one image size (host-side, hashable).
+
+    ``tiles`` rows are ``(y, x, h, w, i, j)`` exactly as the reference's
+    ``get_tiles`` (``image_patcher.py:30-41``) so that tile indices carried in
+    bag metadata are interchangeable with reference indices.
+    """
+
+    patch_size: int
+    overlap: float
+    height: int
+    width: int
+    tiles: tuple[tuple[int, int, int, int, int, int], ...]
+
+    @property
+    def num_tiles(self) -> int:
+        return len(self.tiles)
+
+    def tiles_array(self) -> np.ndarray:
+        return np.asarray(self.tiles, dtype=np.int32)
+
+
+def _start_points(size: int, split_size: int, overlap: float) -> list[int]:
+    """Reference grid recurrence (``image_patcher.py:16-28``): stride steps,
+    last tile snapped to ``size - split_size``."""
+    points = [0]
+    stride = int(split_size * (1 - overlap))
+    if stride <= 0:
+        raise ValueError(f"overlap {overlap} leaves a non-positive stride")
+    counter = 1
+    while True:
+        pt = stride * counter
+        if pt + split_size >= size:
+            points.append(size - split_size)
+            break
+        points.append(pt)
+        counter += 1
+    return points
+
+
+def compute_tile_grid(
+    height: int, width: int, patch_size: int, overlap: float
+) -> TileGrid:
+    """Build the static tile grid for an image size (host-side, cached by
+    callers keyed on the four ints/floats)."""
+    if height < patch_size or width < patch_size:
+        raise ValueError(
+            f"image {height}x{width} smaller than patch_size {patch_size}"
+        )
+    ys = _start_points(height, patch_size, overlap)
+    xs = _start_points(width, patch_size, overlap)
+    tiles = tuple(
+        (y, x, patch_size, patch_size, i, j)
+        for i, y in enumerate(ys)
+        for j, x in enumerate(xs)
+    )
+    return TileGrid(patch_size, overlap, height, width, tiles)
+
+
+def gather_tiles(image: jax.Array, starts: jax.Array, patch_size: int) -> jax.Array:
+    """Crop all tiles from ``image (H, W, C)`` in one vmapped dynamic-slice.
+
+    Replaces the per-tile Python loop at ``image_patcher.py:51-52``.
+    Returns ``(K, patch_size, patch_size, C)``.
+    """
+    c = image.shape[-1]
+
+    def one(start):
+        return jax.lax.dynamic_slice(
+            image, (start[0], start[1], 0), (patch_size, patch_size, c)
+        )
+
+    return jax.vmap(one)(starts)
+
+
+def tile_fill_scores(patches: jax.Array) -> jax.Array:
+    """Percent of nonzero pixels in channel 0 per tile
+    (reference fill metric, ``image_patcher.py:53``). ``(K, h, w, C) -> (K,)``."""
+    nonzero = (patches[..., 0] > 0).astype(jnp.float32)
+    return jnp.mean(nonzero, axis=(-2, -1)) * 100.0
+
+
+def select_tiles(
+    fill_scores: jax.Array,
+    bucket: int,
+    empty_threshold: float,
+    bag_size: int = -1,
+) -> tuple[jax.Array, jax.Array]:
+    """Static-shape equivalent of ``_select_bag`` (``image_patcher.py:115-131``).
+
+    Ranks tiles by fill descending (stable ``top_k``), keeps those above
+    ``empty_threshold * 100`` percent fill, optionally capped at ``bag_size``,
+    always capped at ``bucket``.  Returns ``(indices (bucket,), mask (bucket,))``
+    where ``indices`` are tile-grid row ids and ``mask`` marks kept slots.
+    """
+    k = fill_scores.shape[0]
+    take = min(bucket, k)
+    top_scores, top_idx = jax.lax.top_k(fill_scores, take)
+    if take < bucket:
+        pad = bucket - take
+        top_scores = jnp.concatenate([top_scores, jnp.full((pad,), -1.0)])
+        top_idx = jnp.concatenate([top_idx, jnp.zeros((pad,), top_idx.dtype)])
+    n_above = jnp.sum((fill_scores > empty_threshold * 100.0).astype(jnp.int32))
+    limit = jnp.minimum(n_above, bucket)
+    if bag_size > 0:
+        limit = jnp.minimum(limit, bag_size)
+    mask = jnp.arange(bucket) < limit
+    return top_idx.astype(jnp.int32), mask
+
+
+@partial(jax.jit, static_argnames=("patch_size", "bucket", "empty_threshold", "bag_size"))
+def _extract(
+    image: jax.Array,
+    starts: jax.Array,
+    label: jax.Array,
+    patch_size: int,
+    bucket: int,
+    empty_threshold: float,
+    bag_size: int,
+) -> Bag:
+    scores = tile_fill_scores(gather_tiles(image, starts, patch_size))
+    idx, mask = select_tiles(scores, bucket, empty_threshold, bag_size)
+    # Gather only the selected tiles' pixels (avoids materializing all K tiles
+    # twice for big grids).
+    sel_starts = starts[idx]
+    patches = gather_tiles(image, sel_starts, patch_size)
+    patches = jnp.where(mask[:, None, None, None], patches, 0.0)
+    return Bag(
+        patches=patches,
+        mask=mask,
+        label=jnp.asarray(label, jnp.int32),
+        tile_indices=jnp.where(mask, idx, 0),
+    )
+
+
+def extract_bag_on_device(
+    image: jax.Array,
+    grid: TileGrid,
+    bucket: int,
+    empty_threshold: float,
+    bag_size: int = -1,
+    label: int = 0,
+) -> Bag:
+    """Full on-device pipeline: image ``(H, W, C)`` -> padded :class:`Bag`.
+
+    One compiled program per ``(grid shape, bucket)`` pair; the reference's
+    unseeded bag shuffle (``image_patcher.py:131``) is intentionally dropped —
+    the model is permutation-invariant over instances, and data-order
+    randomness belongs to the loader's PRNG stream instead.
+    """
+    starts = jnp.asarray(grid.tiles_array()[:, :2])
+    return _extract(
+        image, starts, label, grid.patch_size, bucket, empty_threshold, bag_size
+    )
