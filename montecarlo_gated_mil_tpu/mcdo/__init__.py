@@ -1,0 +1,10 @@
+from montecarlo_gated_mil_tpu.mcdo.sampling import (  # noqa: F401
+    AttentionStats,
+    MCOutputs,
+    PredictiveStats,
+    attention_stats,
+    interpret_entropy,
+    mc_head,
+    mc_inference,
+    predictive_stats,
+)

@@ -1,0 +1,123 @@
+"""MCDO sampling behavior: determinism, independence, statistics formulas."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.mcdo import (
+    attention_stats,
+    interpret_entropy,
+    mc_head,
+    mc_inference,
+    predictive_stats,
+)
+from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+
+
+def _tiny_setup(n=8, hw=32, n_valid=6, seed=0):
+    key = jax.random.key(seed)
+    model = MultiHeadGatedAttentionMIL()
+    patches = jax.random.normal(key, (n, hw, hw, 3))
+    mask = jnp.arange(n) < n_valid
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    return model, variables, patches, mask
+
+
+def test_mc_inference_deterministic_per_key():
+    model, variables, patches, mask = _tiny_setup()
+    a = mc_inference(model, variables, patches, mask, 4, jax.random.key(7))
+    b = mc_inference(model, variables, patches, mask, 4, jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a.predictions), np.asarray(b.predictions))
+    c = mc_inference(model, variables, patches, mask, 4, jax.random.key(8))
+    assert not np.allclose(np.asarray(a.predictions), np.asarray(c.predictions))
+
+
+def test_mc_samples_are_distinct():
+    model, variables, patches, mask = _tiny_setup()
+    out = mc_inference(model, variables, patches, mask, 6, jax.random.key(1))
+    preds = np.asarray(out.predictions)
+    # dropout active => each MC sample differs
+    assert len({tuple(row) for row in preds.round(6)}) == 6
+    # every sample's attention rows sum to 1 over valid slots, 0 on padding
+    att = np.asarray(out.attention)
+    np.testing.assert_allclose(att.sum(-1), 1.0, atol=1e-5)
+    assert np.all(att[:, :, 6:] == 0)
+
+
+def test_mc_zero_dropout_collapses():
+    """With both dropout rates at 0 every MC sample equals the deterministic
+    forward."""
+    key = jax.random.key(0)
+    model = MultiHeadGatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    patches = jax.random.normal(key, (8, 32, 32, 3))
+    mask = jnp.ones(8, bool)
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    out = mc_inference(model, variables, patches, mask, 3, jax.random.key(2))
+    y_det, _, _ = model.apply(variables, patches, mask)
+    for t in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out.predictions[t]), np.asarray(y_det), atol=1e-6
+        )
+
+
+def test_mc_head_matches_mc_inference():
+    model, variables, patches, mask = _tiny_setup()
+    H = model.apply(variables, patches, mask, method="embed")
+    a = mc_head(model, variables, H, mask, 4, jax.random.key(3))
+    b = mc_inference(model, variables, patches, mask, 4, jax.random.key(3))
+    np.testing.assert_allclose(
+        np.asarray(a.predictions), np.asarray(b.predictions), atol=1e-6
+    )
+
+
+def test_predictive_stats_formulas():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(30, 2)).astype(np.float32)
+    s = predictive_stats(jnp.asarray(logits))
+    # reference formulas (infer.py:47-57) in numpy
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    p = probs[:, 1]
+    np.testing.assert_allclose(float(s.mean), p.mean(), atol=1e-6)
+    np.testing.assert_allclose(float(s.std), p.std(), atol=1e-6)  # ddof=0
+    np.testing.assert_allclose(float(s.median), np.median(p), atol=1e-6)
+    np.testing.assert_allclose(
+        float(s.iqr), np.percentile(p, 75) - np.percentile(p, 25), atol=1e-6
+    )
+    np.testing.assert_allclose(float(s.low), p.min(), atol=1e-6)
+    np.testing.assert_allclose(float(s.high), p.max(), atol=1e-6)
+    ent = -(probs * np.log(probs + 1e-10)).sum(-1)
+    np.testing.assert_allclose(float(s.mean_entropy), ent.mean(), atol=1e-6)
+    assert int(s.prediction) == int(probs.mean(0).argmax())
+
+
+def test_attention_stats_ddof1():
+    rng = np.random.default_rng(1)
+    att = rng.random((5, 2, 8)).astype(np.float32)
+    s = attention_stats(jnp.asarray(att))
+    np.testing.assert_allclose(np.asarray(s.mean), att.mean(0), atol=1e-6)
+    # torch Tensor.std default is unbiased (infer.py:217)
+    np.testing.assert_allclose(np.asarray(s.std), att.std(0, ddof=1), atol=1e-6)
+
+
+def test_interpret_entropy_buckets():
+    assert interpret_entropy(0.1) == "very low"
+    assert interpret_entropy(0.3) == "low"
+    assert interpret_entropy(0.5) == "moderate"
+    assert interpret_entropy(0.9) == "high"
+
+
+def test_mc_inference_batched_over_bags():
+    """vmap over bags keeps per-bag independence."""
+    model, variables, patches, mask = _tiny_setup()
+    bags = jnp.stack([patches, patches * 0.5])
+    masks = jnp.stack([mask, mask])
+    keys = jax.random.split(jax.random.key(4), 2)
+
+    def per_bag(p, m, k):
+        out = mc_inference(model, variables, p, m, 3, k)
+        return out.predictions, out.attention
+
+    preds, atts = jax.vmap(per_bag)(bags, masks, keys)
+    assert preds.shape == (2, 3, 2) and atts.shape == (2, 3, 2, 8)
+    assert not np.allclose(np.asarray(preds[0]), np.asarray(preds[1]))

@@ -1,0 +1,186 @@
+"""Golden parity: JAX models with ported weights vs torch reference equations.
+
+The BASELINE.json target demands attention mean/variance parity to 1e-5 vs
+the PyTorch reference; these tests enforce it at the component level with a
+hand-built torch fixture (tests/torch_ref.py) whose state_dict keys follow
+the reference schema, so they also exercise models/port.py end to end.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.models import (
+    GatedAttentionMIL,
+    MultiHeadGatedAttentionMIL,
+    auxiliary_loss,
+    make_backbone,
+)
+from montecarlo_gated_mil_tpu.models.port import (
+    port_backbone,
+    port_multihead_gamil,
+    port_singlehead_gamil,
+)
+from tests.torch_ref import (
+    TorchMultiHeadGAMIL,
+    TorchSingleHeadGAMIL,
+    torch_pairwise_aux,
+    torch_resnet,
+)
+
+
+def _state_dict_np(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_backbone_parity_r18():
+    torch.manual_seed(0)
+    tm = torch_resnet("r18").eval()
+    n, hw = 4, 64
+    x = torch.randn(n, 3, hw, hw)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    jm = make_backbone("r18")
+    params = {"params": port_backbone(_state_dict_np(tm), "r18")}
+    got = jm.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_backbone_parity_r50_f64():
+    """r50 in float64: an *untrained* 50-layer net with batch-stat BN at
+    every layer amplifies fp noise ~1.4x per layer, so float32 comparison is
+    meaningless (~1e-3 divergence between any two correct implementations);
+    float64 pins the architecture to 1e-5."""
+    torch.manual_seed(0)
+    tm = torch_resnet("r50").double().eval()
+    x = torch.randn(4, 3, 64, 64, dtype=torch.float64)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jm = make_backbone("r50", dtype=jnp.float64)
+        params = jax.tree.map(
+            lambda a: np.asarray(a, np.float64), {"params": port_backbone(sd, "r50")}
+        )
+        got = np.asarray(jm.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_backbone_mask_equals_ragged():
+    """Masked padded bucket == torch on the ragged valid prefix."""
+    torch.manual_seed(1)
+    tm = torch_resnet("r18").eval()
+    n_valid, bucket, hw = 5, 8, 64
+    x = torch.randn(n_valid, 3, hw, hw)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    jm = make_backbone("r18")
+    params = {"params": port_backbone(_state_dict_np(tm))}
+    padded = np.zeros((bucket, hw, hw, 3), np.float32)
+    padded[:n_valid] = x.numpy().transpose(0, 2, 3, 1)
+    mask = np.arange(bucket) < n_valid
+    got = jm.apply(params, jnp.asarray(padded), jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(got)[:n_valid], ref, atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_multihead_forward_parity(shared):
+    torch.manual_seed(2)
+    tm = TorchMultiHeadGAMIL(shared_attention=shared).eval()
+    n, hw = 6, 64
+    bag = torch.randn(n, 3, hw, hw)
+    with torch.no_grad():
+        y_ref, a_ref = tm(bag)
+
+    jm = MultiHeadGatedAttentionMIL(shared_attention=shared)
+    variables = port_multihead_gamil(_state_dict_np(tm), shared_attention=shared)
+    y, a, aux = jm.apply(
+        variables, jnp.asarray(bag.numpy().transpose(0, 2, 3, 1)), None
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=1e-5, rtol=1e-4)
+    assert aux is None
+
+
+def test_multihead_padded_parity():
+    """Attention parity to 1e-5 with padding + mask vs ragged torch."""
+    torch.manual_seed(3)
+    tm = TorchMultiHeadGAMIL().eval()
+    n_valid, bucket, hw = 5, 8, 64
+    bag = torch.randn(n_valid, 3, hw, hw)
+    with torch.no_grad():
+        y_ref, a_ref = tm(bag)
+
+    jm = MultiHeadGatedAttentionMIL()
+    variables = port_multihead_gamil(_state_dict_np(tm))
+    padded = np.zeros((bucket, hw, hw, 3), np.float32)
+    padded[:n_valid] = bag.numpy().transpose(0, 2, 3, 1)
+    mask = jnp.asarray(np.arange(bucket) < n_valid)
+    y, a, _ = jm.apply(variables, jnp.asarray(padded), mask)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(a)[:, :n_valid], a_ref.numpy(), atol=1e-5, rtol=1e-4
+    )
+    assert np.all(np.asarray(a)[:, n_valid:] == 0)
+
+
+def test_singlehead_forward_parity():
+    torch.manual_seed(4)
+    tm = TorchSingleHeadGAMIL().eval()
+    n, hw = 6, 64
+    bag = torch.randn(n, 3, hw, hw)
+    with torch.no_grad():
+        y_ref, a_ref = tm(bag)
+
+    jm = GatedAttentionMIL()
+    variables = port_singlehead_gamil(_state_dict_np(tm))
+    y, a = jm.apply(variables, jnp.asarray(bag.numpy().transpose(0, 2, 3, 1)), None)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("is_positive", [True, False])
+@pytest.mark.parametrize("loss_type", ["pairwise", "cosine"])
+def test_auxiliary_loss_parity(is_positive, loss_type):
+    rng = np.random.default_rng(5)
+    pos = rng.random(64).astype(np.float32)
+    neg = rng.random(64).astype(np.float32)
+    pos /= pos.sum()
+    neg /= neg.sum()
+    got = auxiliary_loss(
+        jnp.asarray(pos),
+        jnp.asarray(neg),
+        jnp.asarray(is_positive),
+        loss_type=loss_type,
+    )
+    tp, tn = torch.tensor(pos), torch.tensor(neg)
+    if loss_type == "pairwise":
+        ref = torch_pairwise_aux(tp, tn, is_positive)
+    else:
+        c = torch.nn.functional.cosine_similarity(
+            tp.unsqueeze(0), tn.unsqueeze(0), dim=1
+        )
+        ref = c.mean() if is_positive else (1 - c).mean()
+    np.testing.assert_allclose(float(got), float(ref), atol=1e-6)
+
+
+def test_aux_loss_padding_invariant():
+    """Padded zero-attention slots must not change the auxiliary loss."""
+    rng = np.random.default_rng(6)
+    pos = rng.random(10).astype(np.float32)
+    neg = rng.random(10).astype(np.float32)
+    a = float(auxiliary_loss(jnp.asarray(pos), jnp.asarray(neg), jnp.asarray(True)))
+    pos_p = np.concatenate([pos, np.zeros(6, np.float32)])
+    neg_p = np.concatenate([neg, np.zeros(6, np.float32)])
+    b = float(auxiliary_loss(jnp.asarray(pos_p), jnp.asarray(neg_p), jnp.asarray(True)))
+    # torch's pairwise_distance eps (1e-6) enters per-element, so padding
+    # shifts the distance by ~sqrt(6)*1e-6 at most.
+    assert abs(a - b) < 1e-5
