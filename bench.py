@@ -1,0 +1,17 @@
+#!/usr/bin/env python
+"""Benchmark entry: prints ONE JSON line with the headline metric.
+
+Full per-bag MCDO inference (ResNet-18 embed + T=30 fused Pallas MC
+gated-attention) on a 256x224px-patch bag, single chip, vs the reference's
+serial torch pattern (BASELINE_measured.json).
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from montecarlo_gated_mil_tpu.bench import run_bench  # noqa: E402
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

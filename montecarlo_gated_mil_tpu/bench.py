@@ -1,0 +1,112 @@
+"""MCDO inference throughput benchmark (the BASELINE.json headline metric).
+
+Measures mammograms/sec/chip for the full per-bag MCDO path — ResNet-18
+patch embedding (once) + T Monte-Carlo gated-attention samples (fused Pallas
+kernel) — at the reference-scale workload: a 256-instance bag of 224x224
+patches, T=30.  ``vs_baseline`` compares against the reference's own serial
+pattern measured in torch on the hardware available to it here
+(tools/measure_baseline.py -> BASELINE_measured.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.core.config import Config
+from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+from montecarlo_gated_mil_tpu.ops.gated_attention import (
+    GatedAttentionParams,
+    mc_gated_attention_fused,
+)
+
+_BASELINE_FILE = os.path.join(os.path.dirname(__file__), "..", "BASELINE_measured.json")
+
+
+def load_baseline() -> dict | None:
+    try:
+        with open(os.path.abspath(_BASELINE_FILE)) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def run_bench(
+    cfg: Config | None = None,
+    *,
+    bag_size: int = 256,
+    patch: int = 224,
+    num_samples: int = 30,
+    repeats: int = 20,
+    use_pallas: bool | None = None,
+) -> dict:
+    backbone = cfg.model if cfg else "r18"
+    dtype = jnp.dtype(cfg.tpu.compute_dtype) if cfg else jnp.bfloat16
+    if use_pallas is None:
+        use_pallas = (cfg.tpu.use_pallas_attention if cfg else True) and (
+            jax.default_backend() == "tpu"
+        )
+    model = MultiHeadGatedAttentionMIL(backbone=backbone, dtype=dtype)
+    key = jax.random.key(0)
+    patches = jax.random.normal(key, (bag_size, patch, patch, 3), jnp.float32)
+    mask = jnp.ones((bag_size,), bool)
+    # init with a small dummy (params are spatial-size agnostic)
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 64, 64, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    kp = GatedAttentionParams.from_model_params(variables["params"])
+    fd, ad = model.feature_dropout, model.attention_dropout
+
+    if use_pallas:
+
+        @jax.jit
+        def mcdo_bag(p, m, seed):
+            H = model.apply(variables, p, m, method="embed")
+            return mc_gated_attention_fused(H, m, kp, num_samples, seed, fd, ad)
+
+        arg = jnp.asarray(3, jnp.int32)
+    else:
+        from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
+
+        @jax.jit
+        def mcdo_bag(p, m, k):
+            H = model.apply(variables, p, m, method="embed")
+            out = mc_head(model, variables, H, m, num_samples, k)
+            return out.predictions, out.attention
+
+        arg = jax.random.key(1)
+
+    out = mcdo_bag(patches, mask, arg)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(repeats):
+        out = mcdo_bag(patches, mask, arg)
+    jax.block_until_ready(out)
+    per_bag = (time.time() - t0) / repeats
+    bags_per_s = 1.0 / per_bag
+
+    baseline = load_baseline()
+    vs = (
+        bags_per_s / baseline["bags_per_second"]
+        if baseline and baseline.get("bags_per_second")
+        else None
+    )
+    return {
+        "metric": (
+            f"MCDO inference throughput, T={num_samples}, bag={bag_size}x"
+            f"{patch}px, {backbone}, single chip"
+        ),
+        "value": round(bags_per_s, 3),
+        "unit": "mammograms/sec/chip",
+        "vs_baseline": round(vs, 1) if vs is not None else None,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_bench()))

@@ -1,0 +1,98 @@
+"""Command-line entry points.
+
+Reference: four ``python <script>.py --config <path.yml>`` entry scripts
+(``main.py``, ``cross_validation.py``, ``cross_val_eval.py``, ``infer.py``;
+arg parser at ``/root/reference/utils.py:14-23``).  Here one console tool
+with subcommands:
+
+    python -m montecarlo_gated_mil_tpu.cli train --config config.yml
+    python -m montecarlo_gated_mil_tpu.cli cv --config config.yml
+    python -m montecarlo_gated_mil_tpu.cli cv-eval --config config.yml
+    python -m montecarlo_gated_mil_tpu.cli infer --config config.yml --out DIR
+    python -m montecarlo_gated_mil_tpu.cli bench --config config.yml
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="montecarlo_gated_mil_tpu",
+        description="TPU-native Monte Carlo Gated-Attention MIL framework",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    for name, help_ in (
+        ("train", "single-split training with early stopping + final test"),
+        ("cv", "k-fold cross-validation training"),
+        ("cv-eval", "re-evaluate saved CV fold models (MC vs deterministic)"),
+        ("infer", "MCDO inference with attention/uncertainty figures"),
+        ("bench", "MCDO throughput benchmark"),
+    ):
+        p = sub.add_parser(name, help=help_)
+        p.add_argument(
+            "--config", type=str, required=True,
+            help="path to .yml config file specifying datasets/training params",
+        )
+        if name == "cv-eval":
+            p.add_argument("--manifest", type=str, default=None)
+        if name == "infer":
+            p.add_argument("--out", type=str, default="figures")
+            p.add_argument("--manifest", type=str, default=None)
+            p.add_argument("--max-items", type=int, default=0)
+        if name == "bench":
+            p.add_argument("--samples", type=int, default=30)
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = get_args_parser().parse_args(argv)
+    # NOTE: jax_compilation_cache_dir is deliberately NOT enabled here — the
+    # axon TPU plugin in this image hangs when the persistent compilation
+    # cache is active (verified empirically); fresh processes recompile.
+    from montecarlo_gated_mil_tpu.core.config import load_config
+    from montecarlo_gated_mil_tpu.utils.metrics import Metrics, StdoutSink
+
+    cfg = load_config(args.config)
+    metrics = Metrics([StdoutSink()])
+    if cfg.neptune:
+        try:
+            import neptune
+
+            from montecarlo_gated_mil_tpu.utils.metrics import NeptuneSink
+
+            run = neptune.init_run()
+            run["config"] = {"yml": args.config}
+            metrics.sinks.append(NeptuneSink(run))
+        except ImportError:
+            print("neptune not installed; continuing with stdout metrics")
+
+    if args.command == "train":
+        from montecarlo_gated_mil_tpu.runners import run_training
+
+        run_training(cfg, metrics)
+    elif args.command == "cv":
+        from montecarlo_gated_mil_tpu.runners import run_cross_validation
+
+        run_cross_validation(cfg, metrics)
+    elif args.command == "cv-eval":
+        from montecarlo_gated_mil_tpu.runners import run_cv_eval
+
+        run_cv_eval(cfg, args.manifest, metrics)
+    elif args.command == "infer":
+        from montecarlo_gated_mil_tpu.viz.infer import run_inference
+
+        run_inference(cfg, out_dir=args.out, manifest_path=args.manifest,
+                      max_items=args.max_items)
+    elif args.command == "bench":
+        from montecarlo_gated_mil_tpu.bench import run_bench
+
+        print(run_bench(cfg, num_samples=args.samples))
+    metrics.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

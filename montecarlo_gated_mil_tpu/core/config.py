@@ -43,6 +43,10 @@ class DataConfig:
     overlap_val_test: float = 0.75
     cv_folds: int = 5
     fraction_test: float = 0.15
+    # > 0: use the synthetic mammogram generator with this many records
+    # instead of DICOM files (no reference counterpart; this environment has
+    # no DICOM data or pydicom).
+    synthetic_count: int = 0
 
     def validate(self) -> None:
         if self.patch_size <= 0:

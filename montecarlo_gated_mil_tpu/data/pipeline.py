@@ -1,0 +1,222 @@
+"""On-device image -> Bag preprocessing pipeline.
+
+Capability spec (``/root/reference/dataset.py:34-77``): per item the reference
+(on CPU, in DataLoader worker processes) mirrors right-laterality images to
+left, translates by -20 px in x to kill border strips, resizes to the config
+H x W, tiles into patches, keeps filled tiles, then per-patch applies random
+H/V flips (train) and ImageNet normalization.
+
+TPU-native design: everything after the raw pixel read runs as ONE jitted
+XLA program on device — flip, translate, resize, tiling (vmapped dynamic
+slices), fill scoring, top-k selection, per-patch augmentation from an
+explicit PRNG key, and normalization.  Static shapes: one compiled program
+per (image size, grid, bucket) combination.  The reference's unseeded bag
+shuffle (``image_patcher.py:131``) is dropped — attention pooling is
+permutation-invariant and data order randomness lives in the loader PRNG.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Iterable, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_gated_mil_tpu.core.bag import Bag, BucketSpec
+from montecarlo_gated_mil_tpu.data.records import BagRecord
+from montecarlo_gated_mil_tpu.ops.patching import (
+    TileGrid,
+    compute_tile_grid,
+    gather_tiles,
+    select_tiles,
+    tile_fill_scores,
+)
+
+# ImageNet statistics (reference transforms, /root/reference/utils.py:48).
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+BORDER_TRANSLATE_PX = 20  # reference dataset.py:66
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Static preprocessing parameters (hashable; keys one XLA program)."""
+
+    height: int
+    width: int
+    patch_size: int = 224
+    overlap: float = 0.5
+    empty_threshold: float = 0.75
+    bag_size: int = -1
+    bucket: int = 256
+    augment: bool = False  # train-time random per-patch H/V flips
+
+    def grid(self) -> TileGrid:
+        return compute_tile_grid(self.height, self.width, self.patch_size, self.overlap)
+
+
+def canonicalize_image(
+    image: jax.Array, flip_horizontal: jax.Array, out_hw: tuple[int, int]
+) -> jax.Array:
+    """Laterality mirror + border translate + resize, on device.
+
+    image: ``(H, W)`` grayscale in [0, 1].  ``flip_horizontal``: traced bool
+    (True for right-laterality, reference ``dataset.py:62-64``).  The -20 px
+    x-translate shifts content left and zero-fills the right edge
+    (reference ``dataset.py:66``).  Resize is total (the reference's
+    ``and``-joined condition at ``dataset.py:43`` skips single-axis
+    mismatches — a documented bug; the intended semantics is resize-on-any-
+    mismatch, and resizing to the same size is the identity).
+    """
+    img = jnp.where(flip_horizontal, image[:, ::-1], image)
+    # translate=(-20, 0): content moves LEFT by 20 px — the left-edge film
+    # strips leave the frame, the right edge zero-fills.
+    img = jnp.pad(img, ((0, 0), (0, BORDER_TRANSLATE_PX)))[:, BORDER_TRANSLATE_PX:]
+    if img.shape != out_hw:
+        img = jax.image.resize(img, out_hw, method="bilinear", antialias=True)
+    return img
+
+
+def stack_multimodal(img_cc: jax.Array, img_mlo: jax.Array) -> jax.Array:
+    """Vertical MLO-over-CC composite (reference ``dataset.py:101``)."""
+    return jnp.concatenate([img_mlo, img_cc], axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def image_to_bag(
+    image: jax.Array,
+    flip_horizontal: jax.Array,
+    label: jax.Array,
+    key: jax.Array,
+    starts: jax.Array,
+    cfg: PipelineConfig,
+) -> Bag:
+    """Full on-device pipeline: grayscale image -> augmented, normalized Bag.
+
+    Fill scores are computed on raw (pre-normalization) pixels as in the
+    reference (tiling happens before transforms, ``dataset.py:68-71``).
+    """
+    img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
+    img3 = img[..., None] * jnp.ones((3,), img.dtype)  # replicate to RGB
+    tiles = gather_tiles(img3, starts, cfg.patch_size)  # (K, p, p, 3)
+    scores = tile_fill_scores(tiles)
+    idx, mask = select_tiles(scores, cfg.bucket, cfg.empty_threshold, cfg.bag_size)
+    patches = gather_tiles(img3, starts[idx], cfg.patch_size)  # (bucket, p, p, 3)
+    if cfg.augment:
+        kh, kv = jax.random.split(key)
+        flip_h = jax.random.bernoulli(kh, 0.5, (cfg.bucket,))
+        flip_v = jax.random.bernoulli(kv, 0.5, (cfg.bucket,))
+        patches = jnp.where(flip_h[:, None, None, None], patches[:, :, ::-1], patches)
+        patches = jnp.where(flip_v[:, None, None, None], patches[:, ::-1, :], patches)
+    mean = jnp.asarray(IMAGENET_MEAN, patches.dtype)
+    std = jnp.asarray(IMAGENET_STD, patches.dtype)
+    patches = (patches - mean) / std
+    patches = jnp.where(mask[:, None, None, None], patches, 0.0)
+    return Bag(
+        patches=patches,
+        mask=mask,
+        label=jnp.asarray(label, jnp.int32),
+        tile_indices=jnp.where(mask, idx, 0),
+    )
+
+
+class BagLoader:
+    """Host loop: read raw pixels, run the on-device pipeline, prefetch.
+
+    Replaces the reference's 8-process ``DataLoader`` (``utils.py:96-116``):
+    the per-tile Python work that forced multiprocessing there runs on the
+    TPU here, so the host only decodes files.  A background thread keeps
+    ``prefetch`` bags in flight so device work overlaps the next read.
+
+    ``reader`` maps a :class:`BagRecord` to a grayscale float image (or a
+    (CC, MLO) pair in multimodal mode) in [0, 1].
+    """
+
+    def __init__(
+        self,
+        records: Sequence[BagRecord],
+        reader: Callable[[BagRecord], np.ndarray | tuple[np.ndarray, np.ndarray]],
+        cfg: PipelineConfig,
+        *,
+        multimodal: bool = False,
+        seed: int = 0,
+        shuffle: bool = False,
+        sample_order: np.ndarray | None = None,
+        prefetch: int = 2,
+    ):
+        self.records = list(records)
+        self.reader = reader
+        self.cfg = cfg
+        self.multimodal = multimodal
+        self.seed = seed
+        self.shuffle = shuffle
+        self.sample_order = sample_order
+        self.prefetch = prefetch
+        self._starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
+
+    def __len__(self) -> int:
+        if self.sample_order is not None:
+            return len(self.sample_order)
+        return len(self.records)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        if self.sample_order is not None:
+            return np.asarray(self.sample_order)
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(order)
+        return order
+
+    def _make_bag(self, i: int, epoch: int) -> tuple[Bag, BagRecord]:
+        rec = self.records[i]
+        raw = self.reader(rec)
+        if self.multimodal:
+            cc, mlo = raw
+            image = np.concatenate([np.asarray(mlo), np.asarray(cc)], axis=0)
+        else:
+            image = np.asarray(raw)
+        key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.key(self.seed), epoch), i
+        )
+        bag = image_to_bag(
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(rec.laterality == "R"),
+            rec.label,
+            key,
+            self._starts,
+            self.cfg,
+        )
+        return bag, rec
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple[Bag, BagRecord]]:
+        """Yield ``(Bag, record)`` with background prefetch."""
+        order = self._epoch_order(epoch)
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        stop = object()
+
+        def producer():
+            try:
+                for i in order:
+                    q.put(self._make_bag(int(i), epoch))
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def __iter__(self):
+        return self.epoch(0)

@@ -1,0 +1,6 @@
+from montecarlo_gated_mil_tpu.evaluation.report import (  # noqa: F401
+    aggregate_classification_reports,
+    aggregate_fold_accuracies,
+    classification_report_dict,
+    classification_report_text,
+)

@@ -1,0 +1,10 @@
+from montecarlo_gated_mil_tpu.parallel.dp import (  # noqa: F401
+    make_dp_mc_eval,
+    make_dp_train_step,
+)
+from montecarlo_gated_mil_tpu.parallel.mesh import (  # noqa: F401
+    data_sharded,
+    make_mesh,
+    replicated,
+    shard_batch,
+)

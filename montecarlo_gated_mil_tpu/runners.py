@@ -1,0 +1,224 @@
+"""End-to-end runners: single-split training, k-fold CV, CV re-evaluation.
+
+Capability spec:
+
+- ``run_training`` == ``/root/reference/main.py:22-108``: build everything,
+  epoch loop of train+validate with early stopping, save the best params
+  under a uuid name, rebuild + reload, final deterministic test.
+- ``run_cross_validation`` == ``cross_validation.py:21-135``: per fold fresh
+  loaders/model/optimizer/early-stopping, MC or plain validation and test by
+  config flags, per-fold checkpoints, fold-prefixed metrics.
+- ``run_cv_eval`` == ``cross_val_eval.py:37-163``: re-evaluate saved fold
+  models, timing MC vs deterministic test, mean±std across folds.  The
+  reference pulls run metadata from a private Neptune project; here a local
+  JSON manifest written next to the checkpoints is the store.
+
+Determinism: the reference reseeds four global RNGs per fold
+(``cross_validation.py:91-95``); here every stochastic consumer gets an
+explicit key derived from ``Config.seed`` via named streams (core/rng.py),
+so fold runs are reproducible by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.core import rng as rnglib
+from montecarlo_gated_mil_tpu.core.config import Config, config_to_dict
+from montecarlo_gated_mil_tpu.evaluation.report import aggregate_fold_accuracies
+from montecarlo_gated_mil_tpu.experiment import (
+    build_criterion,
+    build_model,
+    build_optimizer,
+    get_dataloaders,
+    get_fold_dataloaders,
+)
+from montecarlo_gated_mil_tpu.train.loops import (
+    mc_test,
+    mc_validate,
+    test,
+    train_epoch,
+    validate,
+)
+from montecarlo_gated_mil_tpu.train.state import (
+    Checkpointer,
+    EarlyStopping,
+    TrainState,
+    make_train_step,
+)
+from montecarlo_gated_mil_tpu.utils.metrics import Metrics
+
+
+def init_params(model, key: jax.Array):
+    """Initialize parameters with a tiny dummy bag.
+
+    Every layer is spatial-size agnostic (global average pool before the
+    heads), so initializing at 64x64 yields byte-identical parameter shapes
+    to 224x224 while compiling a much smaller init program.
+    """
+    dummy = jnp.zeros((8, 64, 64, 3), jnp.float32)
+    mask = jnp.ones((8,), bool)
+    variables = jax.jit(model.init, static_argnames=())(
+        {"params": key, "dropout": key}, dummy, mask
+    )
+    return variables["params"]
+
+
+def _fit(
+    cfg: Config,
+    model,
+    data,
+    metrics: Metrics,
+    *,
+    fold: int | None = None,
+) -> tuple[TrainState, EarlyStopping]:
+    """Shared epoch loop with early stopping (reference ``main.py:83-91`` /
+    ``cross_validation.py:96-109``)."""
+    params_key = rnglib.named_key(rnglib.root_key(cfg.seed), "params")
+    if fold is not None:
+        params_key = jax.random.fold_in(params_key, fold)
+    criterion = build_criterion(cfg)
+    optimizer = build_optimizer(cfg)
+    params = init_params(model, params_key)
+    state = TrainState.create(params, optimizer)
+    step_fn = make_train_step(
+        model, criterion, optimizer, cfg.training_plan.parameters.grad_acc_steps
+    )
+    stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
+    train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
+    val_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-val")
+    for epoch in range(1, cfg.training_plan.parameters.epochs + 1):
+        state = train_epoch(
+            step_fn,
+            state,
+            data.train,
+            epoch=epoch,
+            accumulation_steps=cfg.training_plan.parameters.grad_acc_steps,
+            key=train_key,
+            metrics=metrics,
+            fold=fold,
+        )
+        if cfg.is_mcdo_val:
+            val_loss = mc_validate(
+                model, state.params, data.val, criterion,
+                epoch=epoch, num_samples=cfg.N, key=val_key,
+                metrics=metrics, fold=fold,
+            )
+        else:
+            val_loss = validate(
+                model, state.params, data.val, criterion,
+                epoch=epoch, metrics=metrics, fold=fold,
+            )
+        if stopper(val_loss, state.params):
+            print(f"Early stopping at epoch {epoch}")
+            break
+    return state, stopper
+
+
+def run_training(cfg: Config, metrics: Metrics | None = None) -> dict:
+    """Single-split train -> save best -> reload -> deterministic test."""
+    metrics = metrics or Metrics()
+    model = build_model(cfg)
+    data = get_dataloaders(cfg)
+    state, stopper = _fit(cfg, model, data, metrics)
+    best = stopper.best_params if stopper.best_params is not None else state.params
+    ckpt = Checkpointer(cfg.model_path)
+    name = uuid.uuid4().hex
+    path = ckpt.save_params(name, best)
+    metrics.log("best_model_path", path)
+    # Rebuild + reload (exercises the restore path like main.py:97-105).
+    model2 = build_model(cfg)
+    params = ckpt.restore_params(name, best)
+    acc, report = test(model2, params, data.test, metrics=metrics)
+    return {"best_model_path": path, "test_accuracy": acc, "report": report}
+
+
+def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
+    """k-fold CV with per-fold checkpoints and a JSON manifest."""
+    metrics = metrics or Metrics()
+    ckpt = Checkpointer(cfg.model_path)
+    test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-test")
+    folds = []
+    for fold in range(cfg.data.cv_folds):
+        print(f"Fold {fold + 1}/{cfg.data.cv_folds}")
+        model = build_model(cfg)
+        data = get_fold_dataloaders(cfg, fold)
+        state, stopper = _fit(cfg, model, data, metrics, fold=fold + 1)
+        best = stopper.best_params if stopper.best_params is not None else state.params
+        name = f"fold_{fold + 1}_{uuid.uuid4().hex}"
+        path = ckpt.save_params(name, best)
+        metrics.log(f"fold_{fold + 1}/best_model_path", path)
+        if cfg.is_mcdo_test:
+            acc, report = mc_test(
+                model, best, data.test, num_samples=cfg.N,
+                key=jax.random.fold_in(test_key, fold),
+                metrics=metrics, fold=fold + 1,
+            )
+        else:
+            acc, report = test(model, best, data.test, metrics=metrics, fold=fold + 1)
+        folds.append({"fold": fold + 1, "checkpoint": path, "accuracy": acc})
+    agg = aggregate_fold_accuracies([f["accuracy"] for f in folds])
+    manifest = {
+        "config": config_to_dict(cfg),
+        "folds": folds,
+        "accuracy": agg,
+    }
+    manifest_path = os.path.join(cfg.model_path, "cv_manifest.json")
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2, default=str)
+    print(f"CV accuracy: {agg['mean']:.4f} ± {agg['std']:.4f}")
+    return manifest
+
+
+def run_cv_eval(
+    cfg: Config,
+    manifest_path: str | None = None,
+    metrics: Metrics | None = None,
+) -> dict:
+    """Re-evaluate saved fold models: timed MC vs deterministic test."""
+    metrics = metrics or Metrics()
+    manifest_path = manifest_path or os.path.join(cfg.model_path, "cv_manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    model = build_model(cfg)
+    ckpt = Checkpointer(cfg.model_path)
+    params_like = init_params(
+        model, rnglib.named_key(rnglib.root_key(cfg.seed), "params")
+    )
+    test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "cv-eval")
+    mc_accs, det_accs = [], []
+    for entry in manifest["folds"]:
+        fold = entry["fold"]
+        data = get_fold_dataloaders(cfg, fold - 1)
+        params = ckpt.restore_params(entry["checkpoint"], params_like)
+        t0 = time.time()
+        mc_acc, _ = mc_test(
+            model, params, data.test, num_samples=cfg.N,
+            key=jax.random.fold_in(test_key, fold), metrics=metrics, fold=fold,
+        )
+        mc_time = time.time() - t0
+        t0 = time.time()
+        det_acc, _ = test(model, params, data.test, metrics=metrics, fold=fold)
+        det_time = time.time() - t0
+        print(
+            f"fold {fold}: MC-ACC {mc_acc:.4f} ({mc_time:.2f}s)  "
+            f"nMC-ACC {det_acc:.4f} ({det_time:.2f}s)"
+        )
+        mc_accs.append(mc_acc)
+        det_accs.append(det_acc)
+    result = {
+        "mc": aggregate_fold_accuracies(mc_accs),
+        "deterministic": aggregate_fold_accuracies(det_accs),
+    }
+    print(
+        f"MC-ACC: {result['mc']['mean']:.4f} ± {result['mc']['std']:.4f}   "
+        f"nMC-ACC: {result['deterministic']['mean']:.4f} ± "
+        f"{result['deterministic']['std']:.4f}"
+    )
+    return result

@@ -1,0 +1,238 @@
+"""Training / validation / test loops.
+
+Capability spec (``/root/reference/net_utils.py``):
+
+- ``train_epoch`` == ``train_gacc`` (``net_utils.py:33-78``): CE(+scaled aux)
+  loss, gradient accumulation with an optimizer step every k batches and at
+  epoch end, epoch metrics ``train/epoch_loss|epoch_acc|aux_loss`` with
+  optional fold prefix.
+- ``validate`` (``net_utils.py:82-114``): deterministic forward without
+  targets (no aux), CE loss, argmax accuracy; returns epoch loss for early
+  stopping.
+- ``mc_validate`` (``net_utils.py:116-158``): T MC samples with targets;
+  loss = mean over T of (CE per sample + aux per sample); prediction =
+  argmax of the mean **raw logits** over T.
+- ``test`` / ``mc_test`` (``net_utils.py:160-230``): accuracy + sklearn
+  classification report; MC prediction = argmax of mean **softmax** over T
+  (note: deliberately different reduction than mc_validate, preserved).
+
+All device work is jitted once per (model, criterion) pair via cached
+builders; the host loop only feeds bags and accumulates Python floats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_gated_mil_tpu.mcdo.sampling import mc_inference
+from montecarlo_gated_mil_tpu.train.state import TrainState
+from montecarlo_gated_mil_tpu.utils.metrics import Metrics
+
+
+@functools.lru_cache(maxsize=32)
+def _det_step(model, criterion):
+    @jax.jit
+    def f(params, patches, mask, label):
+        y, _, _ = model.apply({"params": params}, patches, mask)
+        loss = criterion(y[None, :], label[None])
+        return loss, jnp.argmax(y)
+
+    return f
+
+
+@functools.lru_cache(maxsize=32)
+def _mc_val_step(model, criterion, num_samples: int):
+    @jax.jit
+    def f(params, patches, mask, label, key):
+        out = mc_inference(
+            model, {"params": params}, patches, mask, num_samples, key, targets=label
+        )
+        ce = jax.vmap(lambda yy: criterion(yy[None, :], label[None]))(out.predictions)
+        loss = jnp.mean(ce + out.aux_losses)
+        aux = jnp.mean(out.aux_losses)
+        pred = jnp.argmax(jnp.mean(out.predictions, axis=0))
+        return loss, aux, pred
+
+    return f
+
+
+@functools.lru_cache(maxsize=32)
+def _mc_test_step(model, num_samples: int):
+    @jax.jit
+    def f(params, patches, mask, key):
+        out = mc_inference(model, {"params": params}, patches, mask, num_samples, key)
+        probs = jax.nn.softmax(out.predictions, axis=-1)
+        return jnp.argmax(jnp.mean(probs, axis=0))
+
+    return f
+
+
+def train_epoch(
+    step_fn,
+    state: TrainState,
+    loader: Iterable,
+    *,
+    epoch: int,
+    accumulation_steps: int,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> TrainState:
+    """One epoch of gradient-accumulated training (spec above)."""
+    n = len(loader) if hasattr(loader, "__len__") else None
+    running_loss = running_aux = correct = total = 0.0
+    items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+    batch_idx = -1
+    for batch_idx, (bag, _rec) in enumerate(items):
+        k = jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
+        is_last = n is not None and batch_idx + 1 == n
+        do_update = ((batch_idx + 1) % accumulation_steps == 0) or is_last
+        state, out = step_fn(state, bag, k, jnp.asarray(do_update))
+        running_loss += float(out["loss"])
+        running_aux += float(out["aux_loss"])
+        correct += float(out["correct"])
+        total += 1
+    if total == 0:
+        raise ValueError("empty training loader")
+    m = (metrics or Metrics([])).scoped(fold)
+    m.log("train/epoch_loss", running_loss / total, step=epoch)
+    m.log("train/epoch_acc", correct / total, step=epoch)
+    m.log("train/aux_loss", running_aux / total, step=epoch)
+    print(
+        f"Epoch {epoch} - Train Loss: {running_loss / total:.4f}, "
+        f"Accuracy: {correct / total:.4f}"
+    )
+    return state
+
+
+def validate(
+    model,
+    params,
+    loader: Iterable,
+    criterion,
+    *,
+    epoch: int,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> float:
+    step = _det_step(model, criterion)
+    running_loss = correct = total = 0.0
+    items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+    for bag, _rec in items:
+        loss, pred = step(params, bag.patches, bag.mask, bag.label)
+        running_loss += float(loss)
+        correct += float(pred == bag.label)
+        total += 1
+    epoch_loss = running_loss / max(total, 1)
+    m = (metrics or Metrics([])).scoped(fold)
+    m.log("val/epoch_loss", epoch_loss, step=epoch)
+    m.log("val/epoch_acc", correct / max(total, 1), step=epoch)
+    print(
+        f"Epoch {epoch} - Val Loss: {epoch_loss:.4f}, "
+        f"Accuracy: {correct / max(total, 1):.4f}"
+    )
+    return epoch_loss
+
+
+def mc_validate(
+    model,
+    params,
+    loader: Iterable,
+    criterion,
+    *,
+    epoch: int,
+    num_samples: int = 50,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> float:
+    step = _mc_val_step(model, criterion, num_samples)
+    running_loss = running_aux = correct = total = 0.0
+    items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+        loss, aux, pred = step(params, bag.patches, bag.mask, bag.label, k)
+        running_loss += float(loss)
+        running_aux += float(aux)
+        correct += float(pred == bag.label)
+        total += 1
+    epoch_loss = running_loss / max(total, 1)
+    m = (metrics or Metrics([])).scoped(fold)
+    m.log("val/epoch_loss", epoch_loss, step=epoch)
+    m.log("val/epoch_acc", correct / max(total, 1), step=epoch)
+    m.log("val/aux_loss", running_aux / max(total, 1), step=epoch)
+    print(
+        f"Epoch {epoch} - Val Loss: {epoch_loss:.4f}, "
+        f"Accuracy: {correct / max(total, 1):.4f}"
+    )
+    return epoch_loss
+
+
+def _zero_criterion(logits, target):
+    return jnp.asarray(0.0)
+
+
+_ZERO_CRITERION = _zero_criterion
+
+
+def _finish_test(all_targets, all_preds, metrics, fold):
+    from montecarlo_gated_mil_tpu.evaluation.report import classification_report_text
+
+    acc = float(np.mean(np.asarray(all_preds) == np.asarray(all_targets)))
+    report = classification_report_text(all_targets, all_preds)
+    m = metrics or Metrics([])
+    if fold is None:
+        m.log("test/accuracy", acc)
+        m.log("test/classification_report", report)
+    else:
+        m.log(f"test/accuracy_fold{fold}", acc)
+        m.log(f"test/classification_report_fold{fold}", report)
+    print(f"Test Accuracy: {acc:.4f}")
+    print("Classification Report:\n", report)
+    return acc, report
+
+
+def test(
+    model,
+    params,
+    loader: Iterable,
+    *,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> tuple[float, str]:
+    """Deterministic test pass (``net_utils.py:160-192``)."""
+    step = _det_step(model, _ZERO_CRITERION)
+    preds, targets = [], []
+    items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
+    for bag, _rec in items:
+        _, pred = step(params, bag.patches, bag.mask, bag.label)
+        preds.append(int(pred))
+        targets.append(int(bag.label))
+    return _finish_test(targets, preds, metrics, fold)
+
+
+def mc_test(
+    model,
+    params,
+    loader: Iterable,
+    *,
+    num_samples: int = 50,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> tuple[float, str]:
+    """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``)."""
+    step = _mc_test_step(model, num_samples)
+    preds, targets = [], []
+    items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        k = jax.random.fold_in(key, i)
+        pred = step(params, bag.patches, bag.mask, k)
+        preds.append(int(pred))
+        targets.append(int(bag.label))
+    return _finish_test(targets, preds, metrics, fold)

@@ -1,0 +1,214 @@
+"""Train state, gradient accumulation, early stopping, checkpointing.
+
+Capability spec:
+
+- Gradient accumulation: loss divided by the static ``accumulation_steps``,
+  optimizer stepped every k batches *and* at epoch end
+  (``/root/reference/net_utils.py:52-57``).  Implemented as an on-device
+  gradient accumulator inside a single jitted step (no host round trip).
+- Early stopping: counter initialized to patience, reset on improvement,
+  decremented otherwise, stop at zero; best parameters retained
+  (``net_utils.py:232-261``).
+- Checkpointing: the reference keeps the best state only in RAM until one
+  final ``torch.save`` (``main.py:92-94``) and can never resume.  Here Orbax
+  persists (params, opt_state, epoch, early-stop state, PRNG key) and
+  training resumes exactly (SURVEY.md §5 auxiliary-subsystem requirement).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from montecarlo_gated_mil_tpu.core.bag import Bag
+
+Array = jax.Array
+Params = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TrainState:
+    """Pure pytree carried through the jitted train step."""
+
+    params: Params
+    opt_state: optax.OptState
+    grad_acc: Params  # summed (already 1/k-scaled) gradients
+    acc_count: Array  # int32 number of accumulated microbatches
+    step: Array  # int32 optimizer step count
+
+    @staticmethod
+    def create(params: Params, optimizer: optax.GradientTransformation) -> "TrainState":
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            grad_acc=jax.tree.map(jnp.zeros_like, params),
+            acc_count=jnp.asarray(0, jnp.int32),
+            step=jnp.asarray(0, jnp.int32),
+        )
+
+
+def make_train_step(
+    model,
+    criterion: Callable[[Array, Array], Array],
+    optimizer: optax.GradientTransformation,
+    accumulation_steps: int,
+):
+    """Build the jitted one-bag training step.
+
+    The returned function ``step(state, bag, key, do_update)`` computes
+    CE(+aux) loss and gradients for one bag, adds ``grads / k`` to the
+    accumulator, and — when ``do_update`` is true (every k-th microbatch or
+    at epoch end, decided by the host loop) — applies the summed gradients
+    and resets the accumulator.  Matches the reference's ``loss /= k; step
+    every k or at epoch end`` exactly, including the partial final group.
+    """
+
+    def loss_fn(params, bag: Bag, key):
+        y, _, aux = model.apply(
+            {"params": params},
+            bag.patches,
+            bag.mask,
+            bag.label,
+            train=True,
+            rngs={"dropout": key},
+        )
+        loss = criterion(y[None, :], bag.label[None]) + aux
+        correct = (jnp.argmax(y) == bag.label).astype(jnp.float32)
+        return loss / accumulation_steps, (loss, aux, correct)
+
+    @jax.jit
+    def step(state: TrainState, bag: Bag, key: Array, do_update: Array):
+        grads, (loss, aux, correct) = jax.grad(loss_fn, has_aux=True)(
+            state.params, bag, key
+        )
+        grad_acc = jax.tree.map(jnp.add, state.grad_acc, grads)
+        acc_count = state.acc_count + 1
+
+        def apply(_):
+            updates, new_opt = optimizer.update(grad_acc, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                params=new_params,
+                opt_state=new_opt,
+                grad_acc=jax.tree.map(jnp.zeros_like, grad_acc),
+                acc_count=jnp.asarray(0, jnp.int32),
+                step=state.step + 1,
+            )
+
+        def hold(_):
+            return replace(state, grad_acc=grad_acc, acc_count=acc_count)
+
+        new_state = jax.lax.cond(do_update, apply, hold, None)
+        return new_state, {"loss": loss, "aux_loss": aux, "correct": correct}
+
+    return step
+
+
+class EarlyStopping:
+    """Reference-semantics early stopping (``net_utils.py:232-261``)."""
+
+    def __init__(self, patience: int = 5, metrics=None):
+        self.patience = patience
+        self.counter = patience
+        self.best_loss = float("inf")
+        self.best_params = None
+        self.metrics = metrics
+
+    def __call__(self, current_loss: float, params) -> bool:
+        if current_loss < self.best_loss:
+            self.best_loss = current_loss
+            self.counter = self.patience
+            # device arrays are immutable; holding the pytree is the deepcopy
+            self.best_params = params
+        else:
+            self.counter -= 1
+        if self.metrics is not None:
+            self.metrics.log("val/patience_counter", self.counter)
+        return self.counter <= 0
+
+    def state_dict(self) -> dict:
+        return {
+            "patience": self.patience,
+            "counter": self.counter,
+            "best_loss": self.best_loss,
+        }
+
+    def load_state_dict(self, d: dict):
+        self.patience = int(d["patience"])
+        self.counter = int(d["counter"])
+        self.best_loss = float(d["best_loss"])
+
+
+class Checkpointer:
+    """Orbax-backed save/restore of the full training state."""
+
+    def __init__(self, directory: str):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(self.directory)
+
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        *,
+        epoch: int,
+        early_stop: dict | None = None,
+        extra: dict | None = None,
+    ):
+        meta = {"epoch": epoch, "early_stop": early_stop or {}, "extra": extra or {}}
+        self._mgr.save(
+            step,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardSave(state),
+                meta=self._ocp.args.JsonSave(meta),
+            ),
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state_like: TrainState, step: int | None = None):
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardRestore(state_like),
+                meta=self._ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored["meta"]
+
+    def save_params(self, name: str, params) -> str:
+        """Save parameters only (the reference's best-model ``torch.save``,
+        ``main.py:92-94``) under ``directory/name``."""
+        path = os.path.join(self.directory, name)
+        ckpt = self._ocp.StandardCheckpointer()
+        ckpt.save(path, params)
+        ckpt.wait_until_finished()
+        return path
+
+    def restore_params(self, name_or_path: str, params_like):
+        path = (
+            name_or_path
+            if os.path.isabs(name_or_path)
+            else os.path.join(self.directory, name_or_path)
+        )
+        ckpt = self._ocp.StandardCheckpointer()
+        return ckpt.restore(path, target=params_like)
+
+    def close(self):
+        self._mgr.close()

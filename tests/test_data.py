@@ -1,0 +1,184 @@
+"""Data layer: record selection, splits, weighting, on-device pipeline."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.data import (
+    BagLoader,
+    PipelineConfig,
+    class_weights,
+    image_to_bag,
+    kfold_split,
+    make_synthetic_reader,
+    random_split,
+    select_records,
+    stratified_test_split,
+    synthetic_image,
+    synthetic_records,
+    weighted_sample_order,
+)
+from montecarlo_gated_mil_tpu.data.dicom import normalize_dicom_pixels, parse_age
+from montecarlo_gated_mil_tpu.data.pipeline import canonicalize_image
+
+
+def test_select_records_multimodal_pairs():
+    patients = [
+        {
+            "view": ["LCC", "LMLO", "RCC", "RMLO"],
+            "filename": ["p_L_CC.dcm", "p_L_MLO.dcm", "p_R_CC.dcm", "p_R_MLO.dcm"],
+            "class": ["Benign", "Benign", "Malignant", "Malignant"],
+        },
+        {  # incomplete right pair -> only left record
+            "view": ["LCC", "LMLO", "RCC"],
+            "filename": ["q_L_CC.dcm", "q_L_MLO.dcm", "q_R_CC.dcm"],
+            "class": ["Normal", "Normal", "Normal"],
+        },
+    ]
+    recs = select_records(patients, view=["CC", "MLO"], multimodal=True)
+    assert len(recs) == 3
+    assert recs[0].laterality == "L" and recs[0].label == 0
+    assert recs[1].laterality == "R" and recs[1].label == 1
+    assert len(recs[1].paths) == 2
+
+
+def test_select_records_unimodal():
+    patients = [
+        {
+            "view": ["LCC", "LMLO"],
+            "filename": ["a.dcm", "b.dcm"],
+            "class": ["Lymph_nodes", "Lymph_nodes"],
+        }
+    ]
+    recs = select_records(patients, view=["CC"], multimodal=False)
+    assert len(recs) == 1 and recs[0].label == 1
+
+
+def test_class_weights_inverse_frequency():
+    recs = synthetic_records(100, positive_fraction=0.25, seed=1)
+    weights, sample_w = class_weights(recs)
+    n_pos = sum(r.label for r in recs)
+    assert weights[1] == pytest.approx(100 / n_pos)
+    assert weights[0] == pytest.approx(100 / (100 - n_pos))
+    assert len(sample_w) == 100
+
+
+def test_random_split_fractions_and_determinism():
+    s1 = random_split(100, 0.75, 0.5, seed=42)
+    s2 = random_split(100, 0.75, 0.5, seed=42)
+    assert len(s1.train) == 75 and len(s1.val) == 12 or len(s1.val) == 13
+    assert set(s1.train) | set(s1.val) | set(s1.test) == set(range(100))
+    np.testing.assert_array_equal(s1.train, s2.train)
+    s3 = random_split(100, 0.75, 0.5, seed=43)
+    assert not np.array_equal(s1.train, s3.train)
+
+
+def test_kfold_covers_everything():
+    seen_val = []
+    for fold in range(5):
+        tr, va = kfold_split(50, 5, fold, seed=0)
+        assert set(tr) | set(va) == set(range(50))
+        seen_val.extend(va)
+    assert sorted(seen_val) == list(range(50))
+    with pytest.raises(ValueError):
+        kfold_split(50, 5, 7, seed=0)
+
+
+def test_stratified_test_split_preserves_ratio():
+    labels = [1] * 20 + [0] * 80
+    train_val, test = stratified_test_split(labels, 0.2, seed=0)
+    test_pos = sum(1 for i in test if labels[i] == 1)
+    assert test_pos == 4  # 20% of 20 positives
+
+
+def test_weighted_sample_order_balances():
+    w = [1.0] * 80 + [4.0] * 20  # weights as inverse frequency
+    order = weighted_sample_order(w, 4000, seed=0)
+    frac_minority = np.mean(order >= 80)
+    assert 0.45 < frac_minority < 0.55  # balanced in expectation
+
+
+def test_dicom_helpers():
+    px = np.array([[0, 1023], [512, 256]], np.uint16)
+    img = normalize_dicom_pixels(px, 10)
+    assert img.max() == 1.0 and img.dtype == np.float32
+    assert parse_age("'042Y'") == 42
+    with pytest.raises(ValueError):
+        parse_age("nope")
+
+
+def test_canonicalize_flip_and_translate():
+    """Right-laterality mirror, then -20px x-translate kills left-edge strips
+    (torchvision TF.affine(translate=(-20,0)) moves content left)."""
+    img = np.zeros((32, 64), np.float32)
+    img[:, -5:] = 1.0  # film strip at RIGHT edge of a right-laterality image
+    img[:, 30] = 0.5  # tissue landmark at column 30
+    out = np.asarray(
+        canonicalize_image(jnp.asarray(img), jnp.asarray(True), (32, 64))
+    )
+    # flip -> strip at cols 0..4, landmark at 63-30=33; translate left 20:
+    # strip leaves the frame, landmark lands at column 13.
+    assert out[:, :10].max() == 0.0  # strip gone
+    assert np.allclose(out[:, 13], 0.5)
+    assert out[:, -20:].max() == 0.0  # right edge zero-filled
+
+    # no flip for left-laterality
+    out_l = np.asarray(
+        canonicalize_image(jnp.asarray(img), jnp.asarray(False), (32, 64))
+    )
+    assert np.allclose(out_l[:, 10], 0.5)  # 30 - 20
+
+
+def test_image_to_bag_end_to_end():
+    cfg = PipelineConfig(
+        height=256, width=256, patch_size=64, overlap=0.5,
+        empty_threshold=0.1, bucket=32, augment=True,
+    )
+    img = synthetic_image(256, 256, positive=True, seed=0)
+    starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
+    bag = image_to_bag(
+        jnp.asarray(img), jnp.asarray(False), 1, jax.random.key(0), starts, cfg
+    )
+    n = int(bag.num_instances)
+    assert 0 < n <= 32
+    assert bag.patches.shape == (32, 64, 64, 3)
+    # normalized: tissue patches should have ImageNet-normalized range
+    valid = np.asarray(bag.patches)[:n]
+    assert valid.min() < 0  # normalization shifts below zero
+    # padded slots zero
+    assert np.asarray(bag.patches)[n:].max() == 0
+
+
+def test_bag_loader_prefetch_and_determinism():
+    cfg = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+    recs = synthetic_records(6, seed=3)
+    loader = BagLoader(
+        recs, make_synthetic_reader(128, 128), cfg, seed=11, shuffle=True
+    )
+    a = [(int(b.label), int(b.num_instances)) for b, _ in loader.epoch(0)]
+    b = [(int(b.label), int(b.num_instances)) for b, _ in loader.epoch(0)]
+    assert a == b and len(a) == 6
+    c = [(int(b.label), int(b.num_instances)) for b, _ in loader.epoch(1)]
+    assert len(c) == 6  # different order allowed, same content
+
+    # weighted sampling order plumbs through
+    order = weighted_sample_order([1.0] * 6, 10, seed=0)
+    wl = BagLoader(
+        recs, make_synthetic_reader(128, 128), cfg, sample_order=order
+    )
+    assert len(list(wl.epoch(0))) == 10
+
+
+def test_bag_loader_surfaces_reader_errors():
+    cfg = PipelineConfig(height=128, width=128, patch_size=64, bucket=8)
+
+    def bad_reader(rec):
+        raise RuntimeError("boom")
+
+    loader = BagLoader(synthetic_records(2), bad_reader, cfg)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader.epoch(0))

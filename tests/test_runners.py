@@ -1,0 +1,129 @@
+"""End-to-end runners on tiny synthetic data (CPU): train, CV, CV-eval,
+inference figures, and the CLI wrapper."""
+
+import json
+import os
+
+import pytest
+
+from montecarlo_gated_mil_tpu.core.config import Config, config_from_dict
+
+
+def _tiny_config(tmp_path, **overrides) -> Config:
+    raw = {
+        "seed": 7,
+        "model_path": str(tmp_path / "models"),
+        "model": "r18",
+        "is_MCDO-val": False,
+        "is_MCDO-test": True,
+        "N": 3,
+        "feature_dropout": 0.1,
+        "attention_dropout": 0.1,
+        "shared_att": True,
+        "data": {
+            "H": 128,
+            "W": 128,
+            "patch_size": 64,
+            "overlap_train": 0.0,
+            "overlap_val_test": 0.0,
+            "empty_threshold": 0.05,
+            "cv_folds": 2,
+            "fraction_test": 0.3,
+            "fraction_train_rest": 0.6,
+            "fraction_val_test": 0.5,
+            "synthetic_count": 10,
+        },
+        "training_plan": {
+            "weighted_sampler": True,
+            "criterion": "ce",
+            "optimizer": "sgd",
+            "parameters": {
+                "lr": 0.001,
+                "wd": 0.0,
+                "epochs": 2,
+                "patience": 3,
+                "grad_acc_steps": 2,
+            },
+        },
+        "tpu": {"buckets": [8, 16], "compute_dtype": "float32"},
+    }
+    raw.update(overrides)
+    os.makedirs(raw["model_path"], exist_ok=True)
+    return config_from_dict(raw)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    return _tiny_config(tmp_path_factory.mktemp("run"))
+
+
+def test_run_training_end_to_end(tiny_cfg):
+    from montecarlo_gated_mil_tpu.runners import run_training
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    sink = MemorySink()
+    result = run_training(tiny_cfg, Metrics([sink]))
+    assert os.path.exists(result["best_model_path"])
+    assert 0.0 <= result["test_accuracy"] <= 1.0
+    assert "Negative" in result["report"] and "Positive" in result["report"]
+    assert len(sink.values("train/epoch_loss")) == 2
+    assert len(sink.values("val/epoch_loss")) == 2
+    assert sink.values("test/accuracy") == [result["test_accuracy"]]
+
+
+def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
+    from montecarlo_gated_mil_tpu.runners import run_cross_validation, run_cv_eval
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    sink = MemorySink()
+    manifest = run_cross_validation(tiny_cfg, Metrics([sink]))
+    assert len(manifest["folds"]) == 2
+    for f in manifest["folds"]:
+        assert os.path.exists(f["checkpoint"])
+    assert 0.0 <= manifest["accuracy"]["mean"] <= 1.0
+    # fold-prefixed metric names (reference schema)
+    assert len(sink.values("1/train/epoch_loss")) == 2
+    assert len(sink.values("2/val/epoch_loss")) == 2
+    mpath = os.path.join(tiny_cfg.model_path, "cv_manifest.json")
+    assert os.path.exists(mpath)
+    with open(mpath) as f:
+        loaded = json.load(f)
+    assert loaded["folds"] == manifest["folds"]
+
+    # CV re-evaluation from the manifest store (MC + deterministic)
+    result = run_cv_eval(tiny_cfg, mpath, Metrics([MemorySink()]))
+    assert len(result["mc"]["per_fold"]) == 2
+    assert len(result["deterministic"]["per_fold"]) == 2
+
+    # inference figures from the same manifest
+    from montecarlo_gated_mil_tpu.viz.infer import run_inference
+
+    out = run_inference(tiny_cfg, out_dir=str(tmp_path / "figs"), max_items=1)
+    assert len(out) == 2  # one per fold
+    for p in out:
+        assert os.path.exists(p + ".png") and os.path.exists(p + ".pdf")
+
+
+def test_cli_train(tmp_path, capsys):
+    import yaml
+
+    from montecarlo_gated_mil_tpu.cli import main
+
+    cfg = _tiny_config(tmp_path)
+    from montecarlo_gated_mil_tpu.core.config import config_to_dict
+
+    cfg_path = tmp_path / "config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config_to_dict(cfg), f)
+    assert main(["train", "--config", str(cfg_path)]) == 0
+    outp = capsys.readouterr().out
+    assert "Test Accuracy" in outp
+
+
+def test_cli_rejects_missing_command():
+    from montecarlo_gated_mil_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main([])
+    with pytest.raises(SystemExit):
+        main(["train"])  # missing --config
