@@ -36,6 +36,11 @@ def get_args_parser() -> argparse.ArgumentParser:
             "--config", type=str, required=True,
             help="path to .yml config file specifying datasets/training params",
         )
+        if name == "train":
+            p.add_argument(
+                "--resume", action="store_true",
+                help="resume from the latest training-state checkpoint",
+            )
         if name == "cv-eval":
             p.add_argument("--manifest", type=str, default=None)
         if name == "infer":
@@ -72,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "train":
         from montecarlo_gated_mil_tpu.runners import run_training
 
-        run_training(cfg, metrics)
+        run_training(cfg, metrics, resume=args.resume)
     elif args.command == "cv":
         from montecarlo_gated_mil_tpu.runners import run_cross_validation
 

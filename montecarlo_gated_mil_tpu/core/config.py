@@ -132,6 +132,14 @@ class TpuConfig:
     mesh_inst: int = 1
     donate_buffers: bool = True
     use_pallas_attention: bool = True
+    # Debug toggles (SURVEY.md §5: the JAX analogue of the reference's
+    # deterministic-algorithms enforcement is explicit-key purity; these add
+    # the NaN/inf tripwires).
+    debug_nans: bool = False
+    debug_infs: bool = False
+    # Checkpoint the full training state every k epochs (0 = best-only, the
+    # reference behavior of keeping the best model in RAM until the end).
+    checkpoint_every: int = 1
 
     def validate(self) -> None:
         if not self.buckets or any(b <= 0 for b in self.buckets):

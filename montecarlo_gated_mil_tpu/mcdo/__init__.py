@@ -6,5 +6,6 @@ from montecarlo_gated_mil_tpu.mcdo.sampling import (  # noqa: F401
     interpret_entropy,
     mc_head,
     mc_inference,
+    mc_inference_serial,
     predictive_stats,
 )

@@ -100,6 +100,43 @@ def mc_inference(
     return mc_head(model, variables, H, mask, num_samples, key, targets)
 
 
+def mc_inference_serial(
+    model,
+    variables,
+    patches: Array,
+    mask: Array | None,
+    num_samples: int,
+    key: Array,
+    targets: Array | None = None,
+) -> MCOutputs:
+    """Sequential-memory variant: identical math to :func:`mc_inference` but
+    the T passes run as a ``lax.scan`` so only one sample's intermediates are
+    live at a time (reference counterpart: ``mc_inference_serial``,
+    ``/root/reference/model.py:330-401``, a Python loop with manual
+    ``empty_cache``; here the scan stays on device and compiles once).
+    Useful for very large T or very large buckets where the vmapped variant's
+    (T, N, D) intermediates would pressure HBM."""
+    H = model.apply(variables, patches, mask, method="embed")
+
+    def one_pass(_, k):
+        y, a = model.apply(
+            variables, H, mask, mc_dropout=True, method="head", rngs={"dropout": k}
+        )
+        return None, (y, a)
+
+    _, (Y, A) = jax.lax.scan(one_pass, None, jax.random.split(key, num_samples))
+    aux = None
+    if targets is not None:
+        aux = model.aux_scale * auxiliary_loss(
+            A[:, 1, :],
+            A[:, 0, :],
+            targets == 1,
+            loss_type=model.aux_loss_type,
+            margin=model.aux_margin,
+        )
+    return MCOutputs(predictions=Y, attention=A, aux_losses=aux)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PredictiveStats:

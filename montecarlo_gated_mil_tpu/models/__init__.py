@@ -9,3 +9,7 @@ from montecarlo_gated_mil_tpu.models.resnet import (  # noqa: F401
     feature_dim,
     make_backbone,
 )
+from montecarlo_gated_mil_tpu.models.causal import (  # noqa: F401
+    CounterfactualOutputs,
+    causal_counterfactual_dropout,
+)

@@ -8,3 +8,7 @@ from montecarlo_gated_mil_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from montecarlo_gated_mil_tpu.parallel.instance import (  # noqa: F401
+    sharded_gated_attention,
+    sharded_mc_gated_attention,
+)

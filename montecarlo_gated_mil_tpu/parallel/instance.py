@@ -1,0 +1,137 @@
+"""Instance (intra-bag) sharding: gated attention over chips via collectives.
+
+The MIL analogue of sequence parallelism (SURVEY.md §5): when one bag's
+instance count exceeds what a single chip should hold (giant mammograms at
+high overlap -> thousands of patches), shard the instance axis across the
+``inst`` mesh axis and compute the gated-attention pooling with a two-pass
+numerically-stable masked softmax:
+
+    pass 1: local max of masked logits        -> pmax over 'inst'
+    pass 2: local sum of exp(logit - max)     -> psum over 'inst'
+    pooled: partial A @ H per shard           -> psum over 'inst'
+
+All collectives are XLA ``pmax``/``psum`` over ICI; each chip only ever
+holds its slice of H.  The reference has no counterpart (single GPU, dynamic
+N, SURVEY.md §2 'Parallelism strategies: none').
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from montecarlo_gated_mil_tpu.ops.gated_attention import GatedAttentionParams
+
+Array = jax.Array
+
+_MASK_FILL = -1e30
+
+
+def sharded_gated_attention(
+    H: Array,
+    mask: Array,
+    params: GatedAttentionParams,
+    mesh: Mesh,
+    axis: str = "inst",
+) -> tuple[Array, Array]:
+    """Deterministic multi-head gated-attention pooling with the instance
+    axis sharded over ``axis``.
+
+    Args:
+      H: ``(N, L)`` features, N divisible by the ``axis`` size.
+      mask: ``(N,)`` validity.
+    Returns ``(Y (C,) replicated, A (C, N) sharded on N)`` — identical math
+    to the single-chip head (``models/gamil.py``) up to float reordering.
+    """
+    n = H.shape[0]
+    size = mesh.shape[axis]
+    if n % size:
+        raise ValueError(f"instance count {n} not divisible by {axis}={size}")
+
+    def block(h_blk: Array, m_blk: Array):
+        h32 = h_blk.astype(jnp.float32)
+        V = jnp.tanh(h32 @ params.w_V + params.b_V)
+        U = jax.nn.sigmoid(h32 @ params.w_U + params.b_U)
+        logits = ((V * U) @ params.w_att + params.b_att).T  # (C, n_blk)
+        filled = jnp.where(m_blk[None, :], logits, _MASK_FILL)
+        local_max = jnp.max(filled, axis=-1)
+        gmax = jax.lax.pmax(local_max, axis)  # (C,)
+        gmax = jnp.where(gmax <= _MASK_FILL, 0.0, gmax)
+        e = jnp.where(m_blk[None, :], jnp.exp(filled - gmax[:, None]), 0.0)
+        denom = jax.lax.psum(jnp.sum(e, axis=-1), axis)  # (C,)
+        A_blk = e / jnp.where(denom > 0, denom, 1.0)[:, None]
+        M = jax.lax.psum(jnp.einsum("cn,nl->cl", A_blk, h32), axis)  # (C, L)
+        Y = jnp.sum(M * params.w_cls, axis=-1)
+        return Y, A_blk
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=(P(), P(None, axis)),
+    )
+    return f(H, mask)
+
+
+def sharded_mc_gated_attention(
+    H: Array,
+    mask: Array,
+    params: GatedAttentionParams,
+    num_samples: int,
+    key: Array,
+    mesh: Mesh,
+    *,
+    feature_dropout: float = 0.1,
+    attention_dropout: float = 0.1,
+    axis: str = "inst",
+) -> tuple[Array, Array]:
+    """T MC-dropout samples of the instance-sharded head.
+
+    Dropout masks are drawn per shard from a key folded with the shard index
+    (independent across chips and samples, reproducible from one key).
+    Returns ``(Y (T, C) replicated, A (T, C, N) sharded on N)``.
+    """
+    n = H.shape[0]
+    size = mesh.shape[axis]
+    if n % size:
+        raise ValueError(f"instance count {n} not divisible by {axis}={size}")
+
+    def block(h_blk: Array, m_blk: Array, base_key: Array):
+        idx = jax.lax.axis_index(axis)
+        shard_key = jax.random.fold_in(base_key[0], idx)
+
+        def one(k):
+            kf, ka = jax.random.split(k)
+            h32 = h_blk.astype(jnp.float32)
+            if feature_dropout > 0.0:
+                keep = jax.random.bernoulli(kf, 1.0 - feature_dropout, h32.shape)
+                h32 = jnp.where(keep, h32 / (1.0 - feature_dropout), 0.0)
+            V = jnp.tanh(h32 @ params.w_V + params.b_V)
+            U = jax.nn.sigmoid(h32 @ params.w_U + params.b_U)
+            logits = ((V * U) @ params.w_att + params.b_att).T
+            if attention_dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    ka, 1.0 - attention_dropout, logits.shape
+                )
+                logits = jnp.where(keep, logits / (1.0 - attention_dropout), 0.0)
+            filled = jnp.where(m_blk[None, :], logits, _MASK_FILL)
+            gmax = jax.lax.pmax(jnp.max(filled, axis=-1), axis)
+            gmax = jnp.where(gmax <= _MASK_FILL, 0.0, gmax)
+            e = jnp.where(m_blk[None, :], jnp.exp(filled - gmax[:, None]), 0.0)
+            denom = jax.lax.psum(jnp.sum(e, axis=-1), axis)
+            A_blk = e / jnp.where(denom > 0, denom, 1.0)[:, None]
+            M = jax.lax.psum(jnp.einsum("cn,nl->cl", A_blk, h32), axis)
+            return jnp.sum(M * params.w_cls, axis=-1), A_blk
+
+        return jax.vmap(one)(jax.random.split(shard_key, num_samples))
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(None)),
+        out_specs=(P(), P(None, None, axis)),
+    )
+    return f(H, mask, key[None])

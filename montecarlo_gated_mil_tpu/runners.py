@@ -77,9 +77,21 @@ def _fit(
     metrics: Metrics,
     *,
     fold: int | None = None,
+    checkpointer: Checkpointer | None = None,
+    resume: bool = False,
 ) -> tuple[TrainState, EarlyStopping]:
     """Shared epoch loop with early stopping (reference ``main.py:83-91`` /
-    ``cross_validation.py:96-109``)."""
+    ``cross_validation.py:96-109``).
+
+    With a ``checkpointer``, the full state (params, optimizer, epoch,
+    early-stop) persists every ``cfg.tpu.checkpoint_every`` epochs and
+    ``resume=True`` continues from the latest — a crash no longer loses the
+    run (the reference keeps its best model only in RAM, SURVEY.md §5).
+    """
+    if cfg.tpu.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if cfg.tpu.debug_infs:
+        jax.config.update("jax_debug_infs", True)
     params_key = rnglib.named_key(rnglib.root_key(cfg.seed), "params")
     if fold is not None:
         params_key = jax.random.fold_in(params_key, fold)
@@ -93,7 +105,13 @@ def _fit(
     stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
     val_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-val")
-    for epoch in range(1, cfg.training_plan.parameters.epochs + 1):
+    start_epoch = 1
+    if resume and checkpointer is not None and checkpointer.latest_step() is not None:
+        state, meta = checkpointer.restore(state)
+        stopper.load_state_dict(meta["early_stop"])
+        start_epoch = int(meta["epoch"]) + 1
+        print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
+    for epoch in range(start_epoch, cfg.training_plan.parameters.epochs + 1):
         state = train_epoch(
             step_fn,
             state,
@@ -115,18 +133,29 @@ def _fit(
                 model, state.params, data.val, criterion,
                 epoch=epoch, metrics=metrics, fold=fold,
             )
-        if stopper(val_loss, state.params):
+        stop = stopper(val_loss, state.params)
+        every = cfg.tpu.checkpoint_every
+        if checkpointer is not None and every and (epoch % every == 0 or stop):
+            checkpointer.save(
+                epoch, state, epoch=epoch, early_stop=stopper.state_dict()
+            )
+        if stop:
             print(f"Early stopping at epoch {epoch}")
             break
     return state, stopper
 
 
-def run_training(cfg: Config, metrics: Metrics | None = None) -> dict:
+def run_training(
+    cfg: Config, metrics: Metrics | None = None, resume: bool = False
+) -> dict:
     """Single-split train -> save best -> reload -> deterministic test."""
     metrics = metrics or Metrics()
     model = build_model(cfg)
     data = get_dataloaders(cfg)
-    state, stopper = _fit(cfg, model, data, metrics)
+    ckpt_state = Checkpointer(os.path.join(cfg.model_path, "train_state"))
+    state, stopper = _fit(
+        cfg, model, data, metrics, checkpointer=ckpt_state, resume=resume
+    )
     best = stopper.best_params if stopper.best_params is not None else state.params
     ckpt = Checkpointer(cfg.model_path)
     name = uuid.uuid4().hex

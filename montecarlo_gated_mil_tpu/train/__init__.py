@@ -8,6 +8,7 @@ from montecarlo_gated_mil_tpu.train.loops import (  # noqa: F401
     mc_validate,
     test,
     train_epoch,
+    train_epoch_plain,
     validate,
 )
 from montecarlo_gated_mil_tpu.train.optim import make_optimizer, make_schedule  # noqa: F401

@@ -110,6 +110,68 @@ def train_epoch(
     return state
 
 
+@functools.lru_cache(maxsize=8)
+def _plain_step(model, optimizer):
+    import optax
+
+    from montecarlo_gated_mil_tpu.train.criteria import bce_on_probs
+
+    @jax.jit
+    def step(st, patches, mask, label, k):
+        def loss_fn(params):
+            y, _ = model.apply(
+                {"params": params}, patches, mask, train=True, rngs={"dropout": k}
+            )
+            p = jax.nn.sigmoid(y)
+            loss = bce_on_probs(p, jnp.full_like(p, label))
+            return loss, p
+
+        (loss, p), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+        updates, new_opt = optimizer.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        correct = ((p[0] > 0.5).astype(jnp.int32) == label).astype(jnp.float32)
+        new_st = TrainState(
+            params=new_params, opt_state=new_opt, grad_acc=st.grad_acc,
+            acc_count=st.acc_count, step=st.step + 1,
+        )
+        return new_st, loss, correct
+
+    return step
+
+
+def train_epoch_plain(
+    model,
+    state: TrainState,
+    loader: Iterable,
+    optimizer,
+    *,
+    epoch: int,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+) -> TrainState:
+    """Plain per-batch training for the single-head model (spec:
+    ``net_utils.py:6-30``): sigmoid outputs + BCE against the binary label,
+    optimizer step every batch, prediction = P > 0.5.  Unused by the main
+    entry points, provided for reference-API completeness."""
+    step = _plain_step(model, optimizer)
+    running_loss = correct = total = 0.0
+    items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
+        state, loss, c = step(state, bag.patches, bag.mask, bag.label, k)
+        running_loss += float(loss)
+        correct += float(c)
+        total += 1
+    m = metrics or Metrics([])
+    m.log("train/epoch_loss", running_loss / max(total, 1), step=epoch)
+    m.log("train/epoch_acc", correct / max(total, 1), step=epoch)
+    print(
+        f"Epoch {epoch} - Train Loss: {running_loss / max(total, 1):.4f}, "
+        f"Accuracy: {correct / max(total, 1):.4f}"
+    )
+    return state
+
+
 def validate(
     model,
     params,

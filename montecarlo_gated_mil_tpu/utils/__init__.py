@@ -5,3 +5,8 @@ from montecarlo_gated_mil_tpu.utils.metrics import (  # noqa: F401
     NeptuneSink,
     StdoutSink,
 )
+from montecarlo_gated_mil_tpu.utils.profiling import (  # noqa: F401
+    PhaseTimer,
+    annotate,
+    xla_trace,
+)

@@ -1,0 +1,162 @@
+"""Reference-API completeness: serial MC variant, plain train loop, causal
+counterfactual dropout, profiling, resume."""
+
+import numpy as np
+import optax
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.core.bag import Bag
+from montecarlo_gated_mil_tpu.mcdo import mc_inference, mc_inference_serial
+from montecarlo_gated_mil_tpu.models import (
+    GatedAttentionMIL,
+    MultiHeadGatedAttentionMIL,
+    causal_counterfactual_dropout,
+)
+from montecarlo_gated_mil_tpu.train import TrainState, train_epoch_plain
+from montecarlo_gated_mil_tpu.utils import PhaseTimer
+
+
+def _setup(n=8, hw=32, n_valid=6, seed=0, **kw):
+    key = jax.random.key(seed)
+    model = MultiHeadGatedAttentionMIL(**kw)
+    patches = jax.random.normal(key, (n, hw, hw, 3))
+    mask = jnp.arange(n) < n_valid
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    return model, variables, patches, mask
+
+
+def test_serial_matches_vmapped_statistically():
+    """Same per-sample keys => identical results between scan and vmap."""
+    model, variables, patches, mask = _setup()
+    a = mc_inference(model, variables, patches, mask, 4, jax.random.key(5))
+    b = mc_inference_serial(model, variables, patches, mask, 4, jax.random.key(5))
+    np.testing.assert_allclose(
+        np.asarray(a.predictions), np.asarray(b.predictions), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.attention), np.asarray(b.attention), atol=1e-6
+    )
+
+
+def test_serial_with_targets_returns_aux():
+    model, variables, patches, mask = _setup()
+    out = mc_inference_serial(
+        model, variables, patches, mask, 3, jax.random.key(1), targets=jnp.asarray(1)
+    )
+    assert out.aux_losses.shape == (3,)
+
+
+def test_causal_counterfactual_dropout():
+    model, variables, patches, mask = _setup()
+    out = causal_counterfactual_dropout(
+        model, variables, patches, mask, 5, jax.random.key(2)
+    )
+    assert out.counterfactual_predictions.shape == (5, 2)
+    assert out.counterfactual_attention.shape == (5, 2, 8)
+    assert out.importance.shape == (2, 8)
+    # importance is sigmoid(gradient): strictly in (0, 1)
+    imp = np.asarray(out.importance)
+    assert (imp > 0).all() and (imp < 1).all()
+    # realized drop rates are fractions
+    rates = np.asarray(out.drop_rates)
+    assert rates.shape == (2,) and (rates >= 0).all() and (rates <= 1).all()
+    # counterfactual attention only ever removes mass
+    assert (
+        np.asarray(out.counterfactual_attention).sum(-1) <= 1.0 + 1e-5
+    ).all()
+    # deterministic per key
+    out2 = causal_counterfactual_dropout(
+        model, variables, patches, mask, 5, jax.random.key(2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.counterfactual_predictions),
+        np.asarray(out2.counterfactual_predictions),
+    )
+
+
+def test_train_epoch_plain_single_head():
+    key = jax.random.key(0)
+    model = GatedAttentionMIL(num_classes=1)
+    n, hw = 8, 32
+    patches = jax.random.normal(key, (n, hw, hw, 3))
+    mask = jnp.ones(n, bool)
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    opt = optax.sgd(1e-3)
+    state = TrainState.create(variables["params"], opt)
+
+    bags = [
+        (
+            Bag(
+                patches=patches * (0.5 + 0.1 * i),
+                mask=mask,
+                label=jnp.asarray(i % 2),
+                tile_indices=jnp.zeros(n, jnp.int32),
+            ),
+            None,
+        )
+        for i in range(3)
+    ]
+    new_state = train_epoch_plain(
+        model, state, bags, opt, epoch=1, key=jax.random.key(3)
+    )
+    assert int(new_state.step) == 3  # one optimizer step per batch
+    # params changed
+    before = jax.tree.leaves(state.params)[0]
+    after = jax.tree.leaves(new_state.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert "a: total" in t.report()
+    d = t.as_dict()
+    assert set(d) == {"a", "b"} and d["a"]["calls"] == 2
+
+
+def test_resume_continues_training(tmp_path):
+    """Interrupted run resumes from the checkpointed epoch."""
+    from montecarlo_gated_mil_tpu.core.config import config_from_dict
+    from montecarlo_gated_mil_tpu.experiment import build_model, get_dataloaders
+    from montecarlo_gated_mil_tpu.runners import _fit
+    from montecarlo_gated_mil_tpu.train.state import Checkpointer
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    raw = {
+        "seed": 3,
+        "model_path": str(tmp_path / "m"),
+        "data": {
+            "H": 128, "W": 128, "patch_size": 64,
+            "overlap_train": 0.0, "overlap_val_test": 0.0,
+            "empty_threshold": 0.05, "synthetic_count": 6,
+            "fraction_train_rest": 0.7, "fraction_val_test": 0.5,
+        },
+        "training_plan": {
+            "parameters": {"epochs": 2, "patience": 5, "grad_acc_steps": 2,
+                            "lr": 0.001, "wd": 0.0},
+        },
+        "tpu": {"buckets": [8], "checkpoint_every": 1},
+    }
+    cfg = config_from_dict(raw)
+    model = build_model(cfg)
+    data = get_dataloaders(cfg)
+    ckpt = Checkpointer(str(tmp_path / "state"))
+    # run 2 epochs, checkpointing each
+    _fit(cfg, model, data, Metrics([MemorySink()]), checkpointer=ckpt)
+    assert ckpt.latest_step() == 2
+    # raise budget to 3 epochs and resume: only epoch 3 should run
+    cfg3 = config_from_dict({**raw, "training_plan": {
+        "parameters": {"epochs": 3, "patience": 5, "grad_acc_steps": 2,
+                        "lr": 0.001, "wd": 0.0}}})
+    sink = MemorySink()
+    _fit(cfg3, model, data, Metrics([sink]), checkpointer=ckpt, resume=True)
+    steps = [s for (_n, _v, s) in sink.records if _n == "train/epoch_loss"]
+    assert steps == [3]
+    assert ckpt.latest_step() == 3

@@ -82,3 +82,53 @@ def test_dp_mc_eval_sharded():
     np.testing.assert_allclose(np.asarray(atts.sum(-1)), 1.0, atol=1e-5)
     # padded slots zero everywhere
     assert np.asarray(atts)[:, :, :, 6:].max() == 0.0
+
+
+def test_instance_sharded_attention_matches_single_chip():
+    """Two-pass psum softmax over the inst axis == single-chip head math."""
+    from montecarlo_gated_mil_tpu.ops.gated_attention import (
+        GatedAttentionParams,
+        mc_head_reference,
+    )
+    from montecarlo_gated_mil_tpu.parallel.instance import (
+        sharded_gated_attention,
+        sharded_mc_gated_attention,
+    )
+
+    mesh = make_mesh(data=1, inst=8)
+    key = jax.random.key(0)
+    N, L, D, C = 64, 128, 32, 2
+    ks = jax.random.split(key, 8)
+    params = GatedAttentionParams(
+        w_V=jax.random.normal(ks[0], (L, D)) * 0.05,
+        b_V=jax.random.normal(ks[1], (D,)) * 0.05,
+        w_U=jax.random.normal(ks[2], (L, D)) * 0.05,
+        b_U=jax.random.normal(ks[3], (D,)) * 0.05,
+        w_att=jax.random.normal(ks[4], (D, C)) * 0.05,
+        b_att=jax.random.normal(ks[5], (C,)) * 0.05,
+        w_cls=jax.random.normal(ks[6], (C, L)) * 0.05,
+    )
+    H = jax.random.normal(ks[7], (N, L))
+    mask = jnp.arange(N) < 50
+    # deterministic: compare against the jnp reference at dropout 0
+    y_ref, a_ref = mc_head_reference(H, mask, params, 1, key, 0.0, 0.0)
+    y, a = sharded_gated_attention(H, mask, params, mesh)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref[0]), atol=1e-6)
+
+    # MC: shapes, row-normalization, per-key determinism
+    ym, am = sharded_mc_gated_attention(
+        H, mask, params, 4, jax.random.key(3), mesh,
+        feature_dropout=0.1, attention_dropout=0.1,
+    )
+    assert ym.shape == (4, C) and am.shape == (4, C, N)
+    np.testing.assert_allclose(np.asarray(am.sum(-1)), 1.0, atol=1e-5)
+    assert np.asarray(am)[:, :, 50:].max() == 0.0
+    ym2, _ = sharded_mc_gated_attention(
+        H, mask, params, 4, jax.random.key(3), mesh,
+        feature_dropout=0.1, attention_dropout=0.1,
+    )
+    np.testing.assert_array_equal(np.asarray(ym), np.asarray(ym2))
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_gated_attention(H[:60], mask[:60], params, mesh)
