@@ -19,8 +19,11 @@ def classification_report_text(
 ) -> str:
     from sklearn.metrics import classification_report
 
+    # labels pinned so a single-class test set still reports both rows
+    # (sklearn would otherwise reject the 2 target names).
     return classification_report(
-        list(targets), list(preds), target_names=list(target_names), zero_division=0
+        list(targets), list(preds), labels=[0, 1],
+        target_names=list(target_names), zero_division=0,
     )
 
 
@@ -34,6 +37,7 @@ def classification_report_dict(
     return classification_report(
         list(targets),
         list(preds),
+        labels=[0, 1],
         target_names=list(target_names),
         output_dict=True,
         zero_division=0,

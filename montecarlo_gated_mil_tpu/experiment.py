@@ -97,11 +97,16 @@ def load_records(cfg: Config) -> tuple[list[BagRecord], Callable]:
         return recs, make_synthetic_reader(d.H, d.W)
     import pandas as pd
 
-    from montecarlo_gated_mil_tpu.data.dicom import make_dicom_reader
-
     df = pd.read_pickle(d.metadata_path)
     recs = select_records(df.to_dict("records"), list(d.view), d.multimodal)
-    return recs, make_dicom_reader(d.root_path)
+    from montecarlo_gated_mil_tpu.data.dicom import HAVE_PYDICOM, make_dicom_reader
+
+    if HAVE_PYDICOM:
+        return recs, make_dicom_reader(d.root_path)
+    # pydicom absent: the native C++ parser (native/dicom.cc) is the backend.
+    from montecarlo_gated_mil_tpu.data.dicom_native import make_native_dicom_reader
+
+    return recs, make_native_dicom_reader(d.root_path)
 
 
 def _bundle(

@@ -1,0 +1,108 @@
+"""Tiling geometry and bag-selection semantics (spec:
+``/root/reference/image_patcher.py:16-59,115-131``)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.ops.patching import (
+    _start_points,
+    compute_tile_grid,
+    extract_bag_on_device,
+    gather_tiles,
+    select_tiles,
+    tile_fill_scores,
+)
+
+
+def _reference_start_points(size, split, overlap):
+    """Direct transcription of the published grid recurrence for golden
+    comparison: stride steps, final point snapped to size - split."""
+    points = [0]
+    stride = int(split * (1 - overlap))
+    counter = 1
+    while True:
+        pt = stride * counter
+        if pt + split >= size:
+            points.append(size - split)
+            break
+        points.append(pt)
+        counter += 1
+    return points
+
+
+@pytest.mark.parametrize(
+    "size,split,overlap",
+    [(7036, 224, 0.5), (2800, 224, 0.75), (448, 224, 0.5), (225, 224, 0.0)],
+)
+def test_start_points_match_reference_recurrence(size, split, overlap):
+    assert _start_points(size, split, overlap) == _reference_start_points(
+        size, split, overlap
+    )
+
+
+def test_size_equals_patch_duplicates_tile():
+    """Reference parity quirk: when a dimension equals the patch size the
+    grid recurrence emits [0, 0] — a duplicated start point."""
+    assert _start_points(224, 224, 0.5) == [0, 0]
+
+
+def test_grid_row_major_and_tile_records():
+    g = compute_tile_grid(448, 336, 224, 0.5)
+    tiles = g.tiles_array()
+    # row-major: y outer, x inner (reference get_tiles loop order)
+    assert tiles[0].tolist() == [0, 0, 224, 224, 0, 0]
+    assert tiles[1][1] > 0 and tiles[1][0] == 0  # second tile moves in x
+    # (i, j) grid coordinates recorded per tile
+    n_cols = len(_start_points(336, 224, 0.5))
+    assert tiles[n_cols][4] == 1 and tiles[n_cols][5] == 0
+
+
+def test_full_scale_grid_size():
+    # reference-scale mammogram: 7036x2800 @ 224, 50% overlap
+    g = compute_tile_grid(7036, 2800, 224, 0.5)
+    ys = _reference_start_points(7036, 224, 0.5)
+    xs = _reference_start_points(2800, 224, 0.5)
+    assert g.num_tiles == len(ys) * len(xs)
+
+
+def test_fill_scores_percent_nonzero():
+    patches = np.zeros((3, 4, 4, 3), np.float32)
+    patches[0] = 1.0  # 100%
+    patches[1, :2] = 1.0  # 50%
+    scores = np.asarray(tile_fill_scores(jnp.asarray(patches)))
+    np.testing.assert_allclose(scores, [100.0, 50.0, 0.0])
+
+
+def test_select_tiles_threshold_and_cap():
+    scores = jnp.asarray([10.0, 90.0, 50.0, 95.0, 20.0, 80.0])
+    # threshold 0.6 -> three tiles above 60%: ids 3, 1, 5 by fill desc
+    idx, mask = select_tiles(scores, bucket=4, empty_threshold=0.6)
+    kept = np.asarray(idx)[np.asarray(mask)]
+    assert set(kept) == {3, 1, 5}
+    assert np.asarray(idx)[:3].tolist() == [3, 1, 5]  # ranked by fill
+    # bag_size caps below the threshold count
+    idx2, mask2 = select_tiles(scores, bucket=4, empty_threshold=0.6, bag_size=2)
+    assert int(mask2.sum()) == 2
+    assert set(np.asarray(idx2)[np.asarray(mask2)]) == {3, 1}
+    # bucket caps everything
+    idx3, mask3 = select_tiles(scores, bucket=2, empty_threshold=0.0)
+    assert int(mask3.sum()) == 2
+
+
+def test_gather_tiles_matches_numpy_crops():
+    rng = np.random.default_rng(0)
+    img = rng.random((64, 96, 3)).astype(np.float32)
+    g = compute_tile_grid(64, 96, 32, 0.5)
+    starts = jnp.asarray(g.tiles_array()[:, :2])
+    tiles = np.asarray(gather_tiles(jnp.asarray(img), starts, 32))
+    for k, (y, x, *_rest) in enumerate(g.tiles):
+        np.testing.assert_array_equal(tiles[k], img[y : y + 32, x : x + 32])
+
+
+def test_extract_bag_respects_bag_size():
+    img = jnp.ones((256, 256, 3))
+    g = compute_tile_grid(256, 256, 64, 0.0)
+    bag = extract_bag_on_device(img, g, bucket=16, empty_threshold=0.5, bag_size=5)
+    assert int(bag.num_instances) == 5
