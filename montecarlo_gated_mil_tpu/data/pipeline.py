@@ -21,13 +21,13 @@ import queue
 import threading
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable, Iterable, Iterator, Sequence
+from typing import Callable, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_gated_mil_tpu.core.bag import Bag, BucketSpec
+from montecarlo_gated_mil_tpu.core.bag import Bag
 from montecarlo_gated_mil_tpu.data.records import BagRecord
 from montecarlo_gated_mil_tpu.ops.patching import (
     TileGrid,

@@ -9,7 +9,7 @@ or Lymph_nodes (``dataset.py:48``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 POSITIVE_CLASSES = frozenset({"Malignant", "Lymph_nodes"})

@@ -10,8 +10,6 @@ scoring, model, CV) runs identically.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 from montecarlo_gated_mil_tpu.data.records import BagRecord

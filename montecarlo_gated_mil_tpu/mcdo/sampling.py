@@ -22,8 +22,6 @@ rebuild implements the *intended* contract: predictions, attention, and
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -27,8 +27,7 @@ TPU-native design decisions (not a translation):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax

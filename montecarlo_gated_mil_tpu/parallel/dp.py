@@ -24,7 +24,6 @@ from montecarlo_gated_mil_tpu.core.bag import Bag
 from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
 from montecarlo_gated_mil_tpu.parallel.mesh import (
     data_sharded,
-    make_mesh,
     replicated,
 )
 from montecarlo_gated_mil_tpu.train.state import TrainState

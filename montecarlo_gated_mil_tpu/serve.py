@@ -1,0 +1,197 @@
+"""Production serving: raw mammogram in, uncertainty-aware prediction out.
+
+The reference has no serving story (research scripts only); this module
+packages the whole inference path — on-device preprocessing, one feature
+pass, T fused Monte-Carlo samples, on-device uncertainty reductions and
+optional full-resolution attention maps — behind one warm, reusable
+predictor with static shapes (compile once per bucket, then every request is
+a single dispatch).
+
+    predictor = MCDOPredictor.from_config(cfg, params)
+    result = predictor.predict(image, laterality="R")
+    result.prediction, result.stats.mean, result.attention_mean  # ...
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_gated_mil_tpu.core.config import Config
+from montecarlo_gated_mil_tpu.data.pipeline import PipelineConfig, image_to_bag
+from montecarlo_gated_mil_tpu.mcdo.sampling import (
+    AttentionStats,
+    PredictiveStats,
+    attention_stats,
+    mc_head,
+    predictive_stats,
+)
+from montecarlo_gated_mil_tpu.ops.gated_attention import (
+    GatedAttentionParams,
+    mc_gated_attention_fused,
+)
+from montecarlo_gated_mil_tpu.viz.attention import reconstruct_attention_maps
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class PredictionResult:
+    """One bag's uncertainty-aware prediction."""
+
+    prediction: int  # argmax of MC-mean class probabilities
+    stats: PredictiveStats
+    attention: AttentionStats  # per-instance over T samples
+    num_instances: int
+    attention_mean_maps: np.ndarray | None = None  # (C, H, W) if requested
+    attention_std_maps: np.ndarray | None = None
+
+
+class MCDOPredictor:
+    """Warm end-to-end MCDO inference engine for one pipeline configuration.
+
+    Thread-compatible for request loops: all state is immutable after
+    construction; each call derives its PRNG stream from a per-request seed.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        pipeline: PipelineConfig,
+        *,
+        num_samples: int = 30,
+        use_pallas: bool | None = None,
+    ):
+        self.model = model
+        self.params = params
+        self.pipeline = pipeline
+        self.num_samples = num_samples
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        self._grid = pipeline.grid()
+        self._starts = jnp.asarray(self._grid.tiles_array()[:, :2])
+        self._kernel_params = (
+            GatedAttentionParams.from_model_params(params)
+            if use_pallas and getattr(model, "shared_attention", True)
+            else None
+        )
+
+        @jax.jit
+        def _infer(image, flip, seed):
+            bag = image_to_bag(
+                image, flip, jnp.asarray(0), jax.random.key(seed), self._starts,
+                self.pipeline,
+            )
+            H = self.model.apply(
+                {"params": self.params}, bag.patches, bag.mask, method="embed"
+            )
+            if self._kernel_params is not None:
+                y, a = mc_gated_attention_fused(
+                    H,
+                    bag.mask,
+                    self._kernel_params,
+                    self.num_samples,
+                    seed,
+                    self.model.feature_dropout,
+                    self.model.attention_dropout,
+                )
+            else:
+                out = mc_head(
+                    self.model,
+                    {"params": self.params},
+                    H,
+                    bag.mask,
+                    self.num_samples,
+                    jax.random.key(seed),
+                )
+                y, a = out.predictions, out.attention
+            return bag, y, a
+
+        self._infer = _infer
+
+    @classmethod
+    def from_config(
+        cls, cfg: Config, params, *, train_overlap: bool = False, **kw
+    ) -> "MCDOPredictor":
+        from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+        from montecarlo_gated_mil_tpu.experiment import build_model
+        from montecarlo_gated_mil_tpu.ops.patching import compute_tile_grid
+
+        d = cfg.data
+        overlap = d.overlap_train if train_overlap else d.overlap_val_test
+        grid = compute_tile_grid(d.H, d.W, d.patch_size, overlap)
+        pipeline = PipelineConfig(
+            height=d.H,
+            width=d.W,
+            patch_size=d.patch_size,
+            overlap=overlap,
+            empty_threshold=d.empty_threshold,
+            bag_size=d.bag_size_val_test,
+            bucket=BucketSpec(cfg.tpu.buckets).bucket_for(grid.num_tiles),
+            augment=False,
+        )
+        kw.setdefault("num_samples", cfg.N)
+        kw.setdefault("use_pallas", cfg.tpu.use_pallas_attention or None)
+        return cls(build_model(cfg), params, pipeline, **kw)
+
+    def warmup(self) -> None:
+        """Trigger all compilations with a dummy request."""
+        self.predict(
+            np.zeros((self.pipeline.height, self.pipeline.width), np.float32)
+        )
+
+    def predict(
+        self,
+        image: np.ndarray,
+        laterality: str = "L",
+        *,
+        seed: int = 0,
+        return_maps: bool = False,
+    ) -> PredictionResult:
+        """Classify one grayscale mammogram in [0, 1].
+
+        ``return_maps`` additionally reconstructs full-resolution mean/std
+        attention maps (the infer.py figure inputs).
+        """
+        bag, y, a = self._infer(
+            jnp.asarray(image, jnp.float32),
+            jnp.asarray(laterality == "R"),
+            jnp.asarray(seed, jnp.int32),
+        )
+        stats = predictive_stats(y)
+        att = attention_stats(a, bag.mask)
+        mean_maps = std_maps = None
+        if return_maps:
+            maps = reconstruct_attention_maps(
+                a, bag.tile_indices, bag.mask, self._grid
+            )
+            mean_maps = np.asarray(jnp.mean(maps, axis=0))
+            std_maps = np.asarray(
+                jnp.std(maps, axis=0, ddof=1)
+                if self.num_samples > 1
+                else jnp.zeros_like(maps[0])
+            )
+        return PredictionResult(
+            prediction=int(stats.prediction),
+            stats=jax.device_get(stats),
+            attention=jax.device_get(att),
+            num_instances=int(bag.num_instances),
+            attention_mean_maps=mean_maps,
+            attention_std_maps=std_maps,
+        )
+
+    def predict_many(
+        self, images, lateralities=None, *, seed: int = 0
+    ) -> list[PredictionResult]:
+        """Sequential convenience wrapper (each dispatch is already one warm
+        XLA program; overlap comes from JAX's async dispatch)."""
+        lateralities = lateralities or ["L"] * len(images)
+        return [
+            self.predict(img, lat, seed=seed + i)
+            for i, (img, lat) in enumerate(zip(images, lateralities))
+        ]

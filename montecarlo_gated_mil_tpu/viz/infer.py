@@ -21,7 +21,6 @@ from montecarlo_gated_mil_tpu.core import rng as rnglib
 from montecarlo_gated_mil_tpu.core.config import Config
 from montecarlo_gated_mil_tpu.experiment import build_model, get_fold_dataloaders
 from montecarlo_gated_mil_tpu.mcdo.sampling import (
-    attention_stats,
     mc_inference,
     predictive_stats,
 )
