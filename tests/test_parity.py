@@ -184,3 +184,64 @@ def test_aux_loss_padding_invariant():
     # torch's pairwise_distance eps (1e-6) enters per-element, so padding
     # shifts the distance by ~sqrt(6)*1e-6 at most.
     assert abs(a - b) < 1e-5
+
+
+def test_mcdo_statistics_parity_with_torch():
+    """Distribution-level parity: T torch serial MCDO passes vs our vmapped
+    MC inference with ported weights — predictive means agree within
+    sampling noise, stds within 20%.  (PRNG streams differ by construction;
+    BASELINE.json's attention mean/var target is asserted at 3-sigma.)"""
+    import jax
+
+    from montecarlo_gated_mil_tpu.mcdo import mc_inference
+
+    torch.manual_seed(11)
+    tm = TorchMultiHeadGAMIL(feature_dropout=0.2, attention_dropout=0.2).eval()
+
+    def enable_dropout(m):
+        if isinstance(m, torch.nn.Dropout):
+            m.train()
+
+    tm.apply(enable_dropout)
+    n, hw, T = 6, 64, 300
+    bag = torch.randn(n, 3, hw, hw)
+    with torch.no_grad():
+        H = tm.feature_extractor(bag)
+        t_preds, t_atts = [], []
+        for _ in range(T):
+            Hd = tm.feature_dropout(H)
+            ys, ats = [], []
+            for i in range(tm.num_classes):
+                av, au = tm.attention_V(Hd), tm.attention_U(Hd)
+                lg = tm.attention_weights[i](av * au).squeeze(-1)
+                lg = tm.attention_dropouts[i](lg)
+                a = torch.softmax(lg, dim=-1)
+                ys.append(tm.classifiers[i](a @ Hd))
+                ats.append(a)
+            t_preds.append(torch.cat(ys, -1))
+            t_atts.append(torch.stack(ats))
+    t_preds = torch.stack(t_preds).numpy()  # (T, C)
+    t_atts = torch.stack(t_atts).numpy()  # (T, C, N)
+
+    jm = MultiHeadGatedAttentionMIL(feature_dropout=0.2, attention_dropout=0.2)
+    variables = port_multihead_gamil(_state_dict_np(tm))
+    out = mc_inference(
+        jm,
+        variables,
+        jnp.asarray(bag.numpy().transpose(0, 2, 3, 1)),
+        jnp.ones(n, bool),
+        T,
+        jax.random.key(0),
+    )
+    j_preds = np.asarray(out.predictions)
+    j_atts = np.asarray(out.attention)
+
+    sigma = t_preds.std(0) / np.sqrt(T)
+    np.testing.assert_allclose(
+        j_preds.mean(0), t_preds.mean(0), atol=float(3.5 * sigma.max())
+    )
+    np.testing.assert_allclose(j_preds.std(0), t_preds.std(0), rtol=0.2)
+    att_sigma = t_atts.std(0) / np.sqrt(T)
+    np.testing.assert_allclose(
+        j_atts.mean(0), t_atts.mean(0), atol=float(4 * att_sigma.max())
+    )
