@@ -140,6 +140,9 @@ class TpuConfig:
     # Checkpoint the full training state every k epochs (0 = best-only, the
     # reference behavior of keeping the best model in RAM until the end).
     checkpoint_every: int = 1
+    # Shard MC test evaluation over all devices (bags data-parallel); falls
+    # back to the sequential path on a single device.
+    data_parallel_eval: bool = True
 
     def validate(self) -> None:
         if not self.buckets or any(b <= 0 for b in self.buckets):

@@ -4,3 +4,4 @@ from montecarlo_gated_mil_tpu.evaluation.report import (  # noqa: F401
     classification_report_dict,
     classification_report_text,
 )
+from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp  # noqa: F401

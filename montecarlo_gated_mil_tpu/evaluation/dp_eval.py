@@ -1,0 +1,78 @@
+"""Data-parallel MC test: bags sharded over the device mesh.
+
+BASELINE.json config 5: k-fold CV evaluation data-parallel over bucketed
+bags.  Bags from the loader are grouped into mesh-sized batches, stacked,
+sharded over the ``data`` axis and evaluated with one compiled SPMD program;
+the per-bag PRNG keys match the sequential ``loops.mc_test`` scheme
+(``fold_in(key, bag_index)``), so predictions are identical to the
+sequential path bag-for-bag.  The last partial group is padded by repeating
+its first bag and the padding results are dropped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from montecarlo_gated_mil_tpu.core.bag import stack_bags
+from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval
+from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh, shard_batch
+from montecarlo_gated_mil_tpu.utils.metrics import Metrics
+
+
+def mc_test_dp(
+    model,
+    params,
+    loader: Iterable,
+    *,
+    num_samples: int = 50,
+    key: jax.Array,
+    mesh=None,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> tuple[float, str]:
+    """Sharded equivalent of ``loops.mc_test`` (same reduction: argmax of
+    MC-mean softmax, ``net_utils.py:207-210``)."""
+    from montecarlo_gated_mil_tpu.train.loops import _finish_test
+
+    mesh = mesh or make_mesh()
+    batch = int(mesh.shape["data"])
+    eval_step = make_dp_mc_eval(model, mesh, num_samples)
+
+    @jax.jit
+    def reduce_preds(preds):  # (B, T, C) -> (B,)
+        probs = jax.nn.softmax(preds, axis=-1)
+        return jnp.argmax(jnp.mean(probs, axis=1), axis=-1)
+
+    preds_out: list[int] = []
+    targets: list[int] = []
+    group: list = []
+
+    def flush(group):
+        n_real = len(group)
+        bags = [b for b, _ in group]
+        while len(bags) < batch:  # pad the last partial group
+            bags.append(bags[0])
+        stacked = shard_batch(mesh, stack_bags(bags))
+        keys = jnp.stack(
+            [jax.random.fold_in(key, i) for _, i in group]
+            + [jax.random.fold_in(key, group[0][1])] * (batch - n_real)
+        )
+        preds, _ = eval_step(params, stacked, keys)
+        labels = reduce_preds(preds)
+        preds_out.extend(int(x) for x in np.asarray(labels)[:n_real])
+
+    items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        targets.append(int(bag.label))
+        group.append((bag, i))
+        if len(group) == batch:
+            flush(group)
+            group = []
+    if group:
+        flush(group)
+    return _finish_test(targets, preds_out, metrics, fold)

@@ -46,6 +46,8 @@ from montecarlo_gated_mil_tpu.train.loops import (
     train_epoch,
     validate,
 )
+
+
 from montecarlo_gated_mil_tpu.train.state import (
     Checkpointer,
     EarlyStopping,
@@ -53,6 +55,22 @@ from montecarlo_gated_mil_tpu.train.state import (
     make_train_step,
 )
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
+
+
+def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
+    """MC test dispatch: sharded over the device mesh when available
+    (BASELINE config 5), else the sequential loop."""
+    if cfg.tpu.data_parallel_eval and jax.device_count() > 1:
+        from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
+
+        return mc_test_dp(
+            model, params, loader, num_samples=cfg.N, key=key,
+            metrics=metrics, fold=fold,
+        )
+    return mc_test(
+        model, params, loader, num_samples=cfg.N, key=key,
+        metrics=metrics, fold=fold,
+    )
 
 
 def init_params(model, key: jax.Array):
@@ -184,8 +202,8 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
         path = ckpt.save_params(name, best)
         metrics.log(f"fold_{fold + 1}/best_model_path", path)
         if cfg.is_mcdo_test:
-            acc, report = mc_test(
-                model, best, data.test, num_samples=cfg.N,
+            acc, report = _mc_test(
+                cfg, model, best, data.test,
                 key=jax.random.fold_in(test_key, fold),
                 metrics=metrics, fold=fold + 1,
             )
@@ -227,8 +245,8 @@ def run_cv_eval(
         data = get_fold_dataloaders(cfg, fold - 1)
         params = ckpt.restore_params(entry["checkpoint"], params_like)
         t0 = time.time()
-        mc_acc, _ = mc_test(
-            model, params, data.test, num_samples=cfg.N,
+        mc_acc, _ = _mc_test(
+            cfg, model, params, data.test,
             key=jax.random.fold_in(test_key, fold), metrics=metrics, fold=fold,
         )
         mc_time = time.time() - t0

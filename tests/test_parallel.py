@@ -132,3 +132,39 @@ def test_instance_sharded_attention_matches_single_chip():
 
     with pytest.raises(ValueError, match="not divisible"):
         sharded_gated_attention(H[:60], mask[:60], params, mesh)
+
+
+def test_mc_test_dp_matches_sequential():
+    """Sharded MC test == sequential mc_test, bag for bag (same keys)."""
+    from montecarlo_gated_mil_tpu.data import (
+        BagLoader,
+        PipelineConfig,
+        make_synthetic_reader,
+        synthetic_records,
+    )
+    from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
+    from montecarlo_gated_mil_tpu.train.loops import mc_test
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    cfg = PipelineConfig(height=128, width=128, patch_size=64, overlap=0.0,
+                         empty_threshold=0.05, bucket=8)
+    recs = synthetic_records(11, seed=4)  # 11 bags -> one partial group of 3
+    loader = BagLoader(recs, make_synthetic_reader(128, 128), cfg)
+    sample, _ = next(iter(loader.epoch(0)))
+    variables = model.init(
+        {"params": key, "dropout": key}, sample.patches, sample.mask
+    )
+    tkey = jax.random.key(9)
+    acc_seq, rep_seq = mc_test(
+        model, variables["params"], loader, num_samples=3, key=tkey,
+        metrics=Metrics([MemorySink()]),
+    )
+    mesh = make_mesh()
+    acc_dp, rep_dp = mc_test_dp(
+        model, variables["params"], loader, num_samples=3, key=tkey,
+        mesh=mesh, metrics=Metrics([MemorySink()]),
+    )
+    assert acc_dp == acc_seq
+    assert rep_dp == rep_seq
