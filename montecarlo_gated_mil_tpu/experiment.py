@@ -69,6 +69,23 @@ class DataBundle:
     records: list[BagRecord]
 
 
+def print_class_counts(
+    train_recs: list[BagRecord],
+    val_recs: list[BagRecord],
+    test_recs: list[BagRecord],
+) -> dict[int, float]:
+    """Per-set class count summary + inverse-frequency weights (reference
+    ``print_class_counts``, ``/root/reference/utils.py:246-275``)."""
+    from collections import Counter
+
+    for name, recs in (("Train", train_recs), ("Validation", val_recs),
+                       ("Test", test_recs)):
+        counts = dict(sorted(Counter(r.class_name for r in recs).items()))
+        print(f"  {name} set class counts: {counts}  (Total: {len(recs)})")
+    weights, _ = class_weights(train_recs)
+    return weights
+
+
 def _pipeline_cfgs(cfg: Config) -> tuple[PipelineConfig, PipelineConfig]:
     from montecarlo_gated_mil_tpu.ops.patching import compute_tile_grid
 
@@ -120,6 +137,9 @@ def _bundle(
 ) -> DataBundle:
     train_cfg, eval_cfg = _pipeline_cfgs(cfg)
     train_recs = [recs[i] for i in train_idx]
+    print_class_counts(
+        train_recs, [recs[i] for i in val_idx], [recs[i] for i in test_idx]
+    )
     sample_order = None
     if weighted and train_recs:
         _, sample_w = class_weights(train_recs)
