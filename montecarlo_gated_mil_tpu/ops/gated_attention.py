@@ -63,6 +63,12 @@ class GatedAttentionParams:
     @staticmethod
     def from_model_params(p: dict) -> "GatedAttentionParams":
         """Convert ``MultiHeadGatedAttentionMIL`` flax params (shared gate)."""
+        if p["w_V"].ndim != 2:
+            raise ValueError(
+                "the fused kernel supports shared-attention models only "
+                f"(w_V must be (L, D), got shape {tuple(p['w_V'].shape)}; "
+                "separate per-class gates use the jnp path)"
+            )
         return GatedAttentionParams(
             w_V=p["w_V"],
             b_V=p["b_V"],

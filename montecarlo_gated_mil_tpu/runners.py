@@ -67,9 +67,14 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
             model, params, loader, num_samples=cfg.N, key=key,
             metrics=metrics, fold=fold,
         )
+    use_pallas = (
+        cfg.tpu.use_pallas_attention
+        and jax.default_backend() == "tpu"
+        and getattr(model, "shared_attention", False)
+    )
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
-        metrics=metrics, fold=fold,
+        metrics=metrics, fold=fold, use_pallas=use_pallas,
     )
 
 

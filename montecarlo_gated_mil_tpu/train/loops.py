@@ -62,7 +62,31 @@ def _mc_val_step(model, criterion, num_samples: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _mc_test_step(model, num_samples: int):
+def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
+    if use_pallas:
+        from montecarlo_gated_mil_tpu.ops.gated_attention import (
+            GatedAttentionParams,
+            mc_gated_attention_fused,
+        )
+
+        @jax.jit
+        def f(params, patches, mask, key):
+            H = model.apply({"params": params}, patches, mask, method="embed")
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            y, _ = mc_gated_attention_fused(
+                H,
+                mask,
+                GatedAttentionParams.from_model_params(params),
+                num_samples,
+                seed,
+                model.feature_dropout,
+                model.attention_dropout,
+            )
+            probs = jax.nn.softmax(y, axis=-1)
+            return jnp.argmax(jnp.mean(probs, axis=0))
+
+        return f
+
     @jax.jit
     def f(params, patches, mask, key):
         out = mc_inference(model, {"params": params}, patches, mask, num_samples, key)
@@ -287,9 +311,16 @@ def mc_test(
     key: jax.Array,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    use_pallas: bool = False,
 ) -> tuple[float, str]:
-    """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``)."""
-    step = _mc_test_step(model, num_samples)
+    """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``).
+
+    ``use_pallas=True`` (TPU + shared attention only) runs the fused MC
+    kernel — 24x the vmap head; its dropout masks come from the hardware
+    PRNG, so predictions are statistically equivalent but not bit-identical
+    to the default path.
+    """
+    step = _mc_test_step(model, num_samples, use_pallas)
     preds, targets = [], []
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
