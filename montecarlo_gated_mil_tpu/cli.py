@@ -92,9 +92,11 @@ def main(argv: list[str] | None = None) -> int:
         run_inference(cfg, out_dir=args.out, manifest_path=args.manifest,
                       max_items=args.max_items)
     elif args.command == "bench":
+        import json
+
         from montecarlo_gated_mil_tpu.bench import run_bench
 
-        print(run_bench(cfg, num_samples=args.samples))
+        print(json.dumps(run_bench(cfg, num_samples=args.samples)))
     metrics.close()
     return 0
 
