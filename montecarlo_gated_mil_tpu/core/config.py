@@ -143,6 +143,10 @@ class TpuConfig:
     # Shard MC test evaluation over all devices (bags data-parallel); falls
     # back to the sequential path on a single device.
     data_parallel_eval: bool = True
+    # Training loader picks the smallest registry bucket per bag (sparse
+    # bags skip padded embedding compute); eval loaders keep a fixed bucket
+    # so bags can stack for data-parallel evaluation.
+    adaptive_buckets: bool = True
 
     def validate(self) -> None:
         if not self.buckets or any(b <= 0 for b in self.buckets):

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Callable, Iterator, Sequence
 
@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_gated_mil_tpu.core.bag import Bag
+from montecarlo_gated_mil_tpu.core.bag import Bag, BucketSpec
 from montecarlo_gated_mil_tpu.data.records import BagRecord
 from montecarlo_gated_mil_tpu.ops.patching import (
     TileGrid,
@@ -125,6 +125,24 @@ def image_to_bag(
     )
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def count_valid_tiles(
+    image: jax.Array, flip_horizontal: jax.Array, starts: jax.Array,
+    cfg: PipelineConfig,
+) -> jax.Array:
+    """Number of tiles a bag would keep (fill > threshold, capped at
+    bag_size) — used to pick the smallest sufficient bucket per bag."""
+    img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
+    scores = tile_fill_scores(
+        gather_tiles(img[..., None] * jnp.ones((3,), img.dtype), starts,
+                     cfg.patch_size)
+    )
+    n = jnp.sum((scores > cfg.empty_threshold * 100.0).astype(jnp.int32))
+    if cfg.bag_size > 0:
+        n = jnp.minimum(n, cfg.bag_size)
+    return n
+
+
 class BagLoader:
     """Host loop: read raw pixels, run the on-device pipeline, prefetch.
 
@@ -135,6 +153,14 @@ class BagLoader:
 
     ``reader`` maps a :class:`BagRecord` to a grayscale float image (or a
     (CC, MLO) pair in multimodal mode) in [0, 1].
+
+    With ``bucket_spec`` set, the loader picks the smallest registry bucket
+    that fits each bag's valid-tile count (one cheap counting pass, then the
+    per-bucket extract program) instead of always padding to ``cfg.bucket``
+    — sparse mammograms then skip most of the padded embedding compute.
+    XLA program count stays bounded by ``len(bucket_spec.sizes)`` per stage.
+    Bags from different buckets cannot be stacked, so keep it off for
+    batched (data-parallel) evaluation.
     """
 
     def __init__(
@@ -148,6 +174,7 @@ class BagLoader:
         shuffle: bool = False,
         sample_order: np.ndarray | None = None,
         prefetch: int = 2,
+        bucket_spec: "BucketSpec | None" = None,
     ):
         self.records = list(records)
         self.reader = reader
@@ -157,6 +184,7 @@ class BagLoader:
         self.shuffle = shuffle
         self.sample_order = sample_order
         self.prefetch = prefetch
+        self.bucket_spec = bucket_spec
         self._starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
 
     def __len__(self) -> int:
@@ -183,14 +211,14 @@ class BagLoader:
         key = jax.random.fold_in(
             jax.random.fold_in(jax.random.key(self.seed), epoch), i
         )
-        bag = image_to_bag(
-            jnp.asarray(image, jnp.float32),
-            jnp.asarray(rec.laterality == "R"),
-            rec.label,
-            key,
-            self._starts,
-            self.cfg,
-        )
+        img = jnp.asarray(image, jnp.float32)
+        flip = jnp.asarray(rec.laterality == "R")
+        cfg = self.cfg
+        if self.bucket_spec is not None:
+            n = int(count_valid_tiles(img, flip, self._starts, cfg))
+            bucket = min(self.bucket_spec.bucket_for(n), cfg.bucket)
+            cfg = replace(cfg, bucket=bucket)
+        bag = image_to_bag(img, flip, rec.label, key, self._starts, cfg)
         return bag, rec
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[Bag, BagRecord]]:

@@ -148,8 +148,10 @@ def _bundle(
     mk = lambda r, pc, **kw: BagLoader(  # noqa: E731
         r, reader, pc, multimodal=mm, seed=cfg.seed, **kw
     )
+    train_spec = BucketSpec(cfg.tpu.buckets) if cfg.tpu.adaptive_buckets else None
     return DataBundle(
-        train=mk(train_recs, train_cfg, shuffle=True, sample_order=sample_order),
+        train=mk(train_recs, train_cfg, shuffle=True, sample_order=sample_order,
+                 bucket_spec=train_spec),
         val=mk([recs[i] for i in val_idx], eval_cfg),
         test=mk([recs[i] for i in test_idx], eval_cfg),
         records=recs,

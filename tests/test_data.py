@@ -214,3 +214,39 @@ def test_bag_loader_multimodal_stacks_views():
     bottom = patches[ids >= 2]
     np.testing.assert_allclose(top[:, :, :40], 0.75, atol=1e-5)
     np.testing.assert_allclose(bottom[:, :, :40], 0.25, atol=1e-5)
+
+
+def test_adaptive_buckets_pick_smallest_sufficient():
+    """With a bucket_spec, sparse bags get small buckets; dense get larger."""
+    from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+    from montecarlo_gated_mil_tpu.data.records import BagRecord
+
+    cfg = PipelineConfig(height=256, width=256, patch_size=64, overlap=0.5,
+                         empty_threshold=0.5, bucket=64)
+
+    def reader(rec):
+        img = np.zeros((256, 256), np.float32)
+        if rec.class_name == "Malignant":  # dense: fill everything
+            img[:] = 0.8
+        else:  # sparse: one 64px corner block (plus translate margin)
+            img[:80, :100] = 0.8
+        return img
+
+    recs = [
+        BagRecord(("a",), "Normal", "LCC", "L"),
+        BagRecord(("b",), "Malignant", "LCC", "L"),
+    ]
+    loader = BagLoader(recs, reader, cfg, bucket_spec=BucketSpec((4, 16, 64)))
+    bags = {r.class_name: b for b, r in loader.epoch(0)}
+    assert bags["Normal"].bucket == 4  # few valid tiles -> smallest bucket
+    assert bags["Malignant"].bucket == 64  # dense -> capped at cfg.bucket
+    # bag contents identical to the fixed-bucket path on the valid prefix
+    fixed = BagLoader(recs, reader, cfg)
+    fixed_bags = {r.class_name: b for b, r in fixed.epoch(0)}
+    n = int(bags["Normal"].num_instances)
+    assert n == int(fixed_bags["Normal"].num_instances)
+    np.testing.assert_allclose(
+        np.asarray(bags["Normal"].patches[:n]),
+        np.asarray(fixed_bags["Normal"].patches[:n]),
+        atol=1e-6,
+    )
