@@ -11,7 +11,6 @@ its first bag and the padding results are dropped.
 
 from __future__ import annotations
 
-import functools
 from typing import Iterable
 
 import jax
