@@ -250,3 +250,24 @@ def test_adaptive_buckets_pick_smallest_sufficient():
         np.asarray(fixed_bags["Normal"].patches[:n]),
         atol=1e-6,
     )
+
+
+def test_count_valid_tiles_matches_selection():
+    """The adaptive-bucket counting pass must agree with the extract pass."""
+    from montecarlo_gated_mil_tpu.data.pipeline import count_valid_tiles
+
+    cfg = PipelineConfig(height=256, width=256, patch_size=64, overlap=0.5,
+                         empty_threshold=0.3, bucket=64)
+    starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
+    for seed in range(4):
+        img = jnp.asarray(synthetic_image(256, 256, positive=seed % 2 == 0,
+                                          seed=seed))
+        n = int(count_valid_tiles(img, jnp.asarray(seed % 2 == 1), starts, cfg))
+        bag = image_to_bag(img, jnp.asarray(seed % 2 == 1), 0,
+                           jax.random.key(0), starts, cfg)
+        assert n == int(bag.num_instances)
+    # bag_size cap respected by the counter too
+    cfg2 = PipelineConfig(height=256, width=256, patch_size=64, overlap=0.5,
+                          empty_threshold=0.3, bucket=64, bag_size=5)
+    img = jnp.asarray(synthetic_image(256, 256, positive=True, seed=9))
+    assert int(count_valid_tiles(img, jnp.asarray(False), starts, cfg2)) <= 5
