@@ -92,18 +92,24 @@ def run_bench(
         c, _ = jax.lax.scan(body, jnp.asarray(0.0), jnp.arange(k))
         return c
 
-    k1, k2 = 1, max(2, repeats // 2)
+    # Three chain lengths; median pairwise slope rejects tunnel-RTT outliers
+    # in any single endpoint measurement.
+    ks = (2, max(4, repeats // 3), max(8, (2 * repeats) // 3))
     totals = {}
-    for k in (k1, k2):
+    for k in ks:
         g = jax.jit(lambda p, m, k=k: chain(p, m, k))
         float(g(patches, mask))  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             float(g(patches, mask))  # readback forces completion
             best = min(best, time.perf_counter() - t0)
         totals[k] = best
-    per_bag = (totals[k2] - totals[k1]) / (k2 - k1)
+    slopes = sorted(
+        (totals[b] - totals[a]) / (b - a)
+        for a, b in ((ks[0], ks[1]), (ks[1], ks[2]), (ks[0], ks[2]))
+    )
+    per_bag = slopes[1]  # median
     bags_per_s = 1.0 / per_bag
 
     baseline = load_baseline()
