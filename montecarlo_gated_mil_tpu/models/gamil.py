@@ -126,6 +126,7 @@ class MultiHeadGatedAttentionMIL(nn.Module):
     aux_margin: float = 1.0
     aux_scale: float = 0.5
     dtype: Any = jnp.float32
+    space_to_depth: bool = False  # exact s2d stem transform (same params)
 
     @property
     def L(self) -> int:
@@ -133,7 +134,9 @@ class MultiHeadGatedAttentionMIL(nn.Module):
 
     def setup(self):
         C, L, D = self.num_classes, self.L, self.D
-        self.features = make_backbone(self.backbone, dtype=self.dtype)
+        self.features = make_backbone(
+            self.backbone, dtype=self.dtype, space_to_depth=self.space_to_depth
+        )
         gate_shape = (L, D) if self.shared_attention else (C, L, D)
         gate_bias_shape = (D,) if self.shared_attention else (C, D)
         self.w_V = self.param("w_V", _torch_linear_init, gate_shape, jnp.float32)

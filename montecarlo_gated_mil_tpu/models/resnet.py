@@ -153,22 +153,71 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class SpaceToDepthStem(nn.Module):
+    """Exact transform of the 7x7-stride-2 stem conv into a 4x4-stride-1
+    conv over 2x2 space-to-depth input (the MLPerf ResNet TPU optimization):
+    large-spatial/small-channel convolutions are HBM-bound on TPU, and the
+    s2d form moves the same arithmetic into a better-shaped contraction.
+
+    The parameter keeps the torchvision ``(7, 7, 3, 64)`` layout — porting
+    and checkpoints are unchanged; the kernel is rearranged at trace time.
+    Derivation: out[o] = sum_k x[2o + k - 3] w7[k]  ==  sum_{k'} x[2o + k' - 4]
+    w8[k'] with w8 = zero-pad w7 at the leading edge, which regroups into a
+    4-tap stride-1 conv over s2d pairs with padding (2, 1).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        if h % 2 or w % 2:
+            raise ValueError(f"space-to-depth stem needs even H, W; got {h}x{w}")
+        w7 = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, c, 64), jnp.float32
+        )
+        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wk = (
+            w8.reshape(4, 2, 4, 2, c, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, 64)
+        ).astype(self.dtype)
+        x2 = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        return jax.lax.conv_general_dilated(
+            x2.astype(self.dtype),
+            wk,
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNetFeatures(nn.Module):
     """Headless ResNet: ``(N, H, W, 3) -> (N, L)`` global-pooled features.
 
     ``mask`` (N,) marks valid instances; BN statistics ignore padded ones.
     Architecture matches torchvision's stem/stage layout so that weights can
-    be ported 1:1 (see ``models/port.py``).
+    be ported 1:1 (see ``models/port.py``).  ``space_to_depth=True`` swaps
+    the stem conv for its exact s2d-transformed equivalent (same parameters,
+    same math; faster on TPU for 224px inputs).
     """
 
     stage_sizes: Sequence[int]
     block_cls: type
     dtype: Any = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None) -> Array:
         x = x.astype(self.dtype)
-        x = _conv(64, 7, 2, 3, self.dtype, "conv1")(x)
+        if self.space_to_depth:
+            x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = _conv(64, 7, 2, 3, self.dtype, "conv1")(x)
         x = MaskedBatchStatsNorm(name="bn1")(x, mask)
         x = nn.relu(x)
         x = nn.max_pool(
@@ -195,13 +244,18 @@ _CONFIGS: dict[str, tuple[Sequence[int], type]] = {
 }
 
 
-def make_backbone(name: str, dtype: Any = jnp.float32) -> ResNetFeatures:
+def make_backbone(
+    name: str, dtype: Any = jnp.float32, space_to_depth: bool = False
+) -> ResNetFeatures:
     """Backbone factory mirroring the reference's r18/r34/r50 switch
     (``/root/reference/model.py:42-50``)."""
     if name not in _CONFIGS:
         raise ValueError(f"backbone must be one of {sorted(_CONFIGS)}, got {name!r}")
     sizes, block = _CONFIGS[name]
-    return ResNetFeatures(stage_sizes=sizes, block_cls=block, dtype=dtype)
+    return ResNetFeatures(
+        stage_sizes=sizes, block_cls=block, dtype=dtype,
+        space_to_depth=space_to_depth,
+    )
 
 
 def feature_dim(name: str) -> int:

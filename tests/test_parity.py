@@ -245,3 +245,51 @@ def test_mcdo_statistics_parity_with_torch():
     np.testing.assert_allclose(
         j_atts.mean(0), t_atts.mean(0), atol=float(4 * att_sigma.max())
     )
+
+
+def test_space_to_depth_stem_exact():
+    """The s2d stem is the SAME function as the 7x7-s2 conv: identical
+    params (torchvision layout), outputs equal to fp tolerance."""
+    from montecarlo_gated_mil_tpu.models.resnet import ResNetFeatures, BasicBlock
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (4, 64, 64, 3))
+    mask = jnp.ones(4, bool)
+    plain = ResNetFeatures(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock)
+    s2d = ResNetFeatures(
+        stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, space_to_depth=True
+    )
+    vs = plain.init(key, x, mask)
+    # identical parameter trees -> checkpoints/ported weights reusable
+    vs2 = s2d.init(key, x, mask)
+    assert jax.tree.structure(vs) == jax.tree.structure(vs2)
+    out_plain = plain.apply(vs, x, mask)
+    out_s2d = s2d.apply(vs, x, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_s2d), np.asarray(out_plain), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_space_to_depth_full_model_parity_vs_torch():
+    """Full MH-GA-MIL with the s2d stem still matches the torch reference."""
+    torch.manual_seed(2)
+    tm = TorchMultiHeadGAMIL().eval()
+    bag = torch.randn(6, 3, 64, 64)
+    with torch.no_grad():
+        y_ref, a_ref = tm(bag)
+    jm = MultiHeadGatedAttentionMIL(space_to_depth=True)
+    variables = port_multihead_gamil(_state_dict_np(tm))
+    y, a, _ = jm.apply(variables, jnp.asarray(bag.numpy().transpose(0, 2, 3, 1)), None)
+    np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=1e-5, rtol=1e-3)
+
+
+def test_space_to_depth_rejects_odd_sizes():
+    from montecarlo_gated_mil_tpu.models.resnet import ResNetFeatures, BasicBlock
+
+    key = jax.random.key(0)
+    s2d = ResNetFeatures(
+        stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, space_to_depth=True
+    )
+    with pytest.raises(ValueError, match="even"):
+        s2d.init(key, jnp.zeros((2, 63, 64, 3)), jnp.ones(2, bool))
