@@ -173,9 +173,12 @@ class BagLoader:
         seed: int = 0,
         shuffle: bool = False,
         sample_order: np.ndarray | None = None,
+        sample_weights: Sequence[float] | None = None,
         prefetch: int = 2,
         bucket_spec: "BucketSpec | None" = None,
     ):
+        if sample_order is not None and sample_weights is not None:
+            raise ValueError("pass sample_order or sample_weights, not both")
         self.records = list(records)
         self.reader = reader
         self.cfg = cfg
@@ -183,6 +186,7 @@ class BagLoader:
         self.seed = seed
         self.shuffle = shuffle
         self.sample_order = sample_order
+        self.sample_weights = sample_weights
         self.prefetch = prefetch
         self.bucket_spec = bucket_spec
         self._starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
@@ -195,6 +199,15 @@ class BagLoader:
     def _epoch_order(self, epoch: int) -> np.ndarray:
         if self.sample_order is not None:
             return np.asarray(self.sample_order)
+        if self.sample_weights is not None:
+            # Fresh with-replacement draw every epoch, like the reference's
+            # WeightedRandomSampler (/root/reference/utils.py:217, redrawn by
+            # the DataLoader at each epoch); epoch folds into the seed.
+            from montecarlo_gated_mil_tpu.data.splits import weighted_sample_order
+
+            return weighted_sample_order(
+                self.sample_weights, len(self.records), self.seed + epoch
+            )
         order = np.arange(len(self.records))
         if self.shuffle:
             np.random.default_rng(self.seed + epoch).shuffle(order)

@@ -27,7 +27,6 @@ from montecarlo_gated_mil_tpu.data import (
     select_records,
     stratified_test_split,
     synthetic_records,
-    weighted_sample_order,
 )
 from montecarlo_gated_mil_tpu.data.records import BagRecord
 from montecarlo_gated_mil_tpu.data.synthetic import make_synthetic_reader
@@ -140,17 +139,18 @@ def _bundle(
     print_class_counts(
         train_recs, [recs[i] for i in val_idx], [recs[i] for i in test_idx]
     )
-    sample_order = None
+    sample_w = None
     if weighted and train_recs:
+        # Weights only; BagLoader redraws the with-replacement order every
+        # epoch (reference WeightedRandomSampler, utils.py:217).
         _, sample_w = class_weights(train_recs)
-        sample_order = weighted_sample_order(sample_w, len(train_recs), cfg.seed)
     mm = cfg.data.multimodal and not getattr(cfg.data, "synthetic_count", 0)
     mk = lambda r, pc, **kw: BagLoader(  # noqa: E731
         r, reader, pc, multimodal=mm, seed=cfg.seed, **kw
     )
     train_spec = BucketSpec(cfg.tpu.buckets) if cfg.tpu.adaptive_buckets else None
     return DataBundle(
-        train=mk(train_recs, train_cfg, shuffle=True, sample_order=sample_order,
+        train=mk(train_recs, train_cfg, shuffle=True, sample_weights=sample_w,
                  bucket_spec=train_spec),
         val=mk([recs[i] for i in val_idx], eval_cfg),
         test=mk([recs[i] for i in test_idx], eval_cfg),

@@ -96,6 +96,21 @@ def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
     return f
 
 
+def _with_last_flag(items):
+    """Yield ``(item, is_last)`` with one item of lookahead, so the epoch-end
+    optimizer flush (``net_utils.py:55-57``) fires for any iterable — a bare
+    generator included — not just loaders with ``__len__``."""
+    it = iter(items)
+    try:
+        prev = next(it)
+    except StopIteration:
+        return
+    for item in it:
+        yield prev, False
+        prev = item
+    yield prev, True
+
+
 def train_epoch(
     step_fn,
     state: TrainState,
@@ -108,13 +123,10 @@ def train_epoch(
     fold: int | None = None,
 ) -> TrainState:
     """One epoch of gradient-accumulated training (spec above)."""
-    n = len(loader) if hasattr(loader, "__len__") else None
     running_loss = running_aux = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
-    batch_idx = -1
-    for batch_idx, (bag, _rec) in enumerate(items):
+    for batch_idx, ((bag, _rec), is_last) in enumerate(_with_last_flag(items)):
         k = jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
-        is_last = n is not None and batch_idx + 1 == n
         do_update = ((batch_idx + 1) % accumulation_steps == 0) or is_last
         state, out = step_fn(state, bag, k, jnp.asarray(do_update))
         running_loss += float(out["loss"])

@@ -74,7 +74,10 @@ class NeptuneSink:
         self.run = run
 
     def log(self, name, value, step=None):
-        self.run[name].log(value)
+        if step is None:
+            self.run[name].log(value)
+        else:
+            self.run[name].log(value, step=step)
 
     def close(self):
         try:

@@ -173,6 +173,29 @@ def test_bag_loader_prefetch_and_determinism():
     assert len(list(wl.epoch(0))) == 10
 
 
+def test_weighted_sampler_redraws_per_epoch():
+    """With sample_weights, the with-replacement order is freshly drawn per
+    epoch (reference WeightedRandomSampler, utils.py:217) while the class
+    balance implied by the weights holds on average."""
+    cfg = PipelineConfig(height=128, width=128, patch_size=64, bucket=8)
+    recs = synthetic_records(20, seed=3)
+    w = [9.0 if i < 2 else 1.0 for i in range(20)]  # heavy mass on items 0,1
+    wl = BagLoader(
+        recs, make_synthetic_reader(128, 128), cfg, seed=5, sample_weights=w
+    )
+    o0, o1 = wl._epoch_order(0), wl._epoch_order(1)
+    assert len(o0) == len(recs) == len(wl)
+    assert not np.array_equal(o0, o1)
+    draws = np.concatenate([wl._epoch_order(e) for e in range(50)])
+    heavy_frac = float(np.mean(draws < 2))  # expected 18/36 = 0.5
+    assert 0.4 < heavy_frac < 0.6
+    with pytest.raises(ValueError, match="not both"):
+        BagLoader(
+            recs, make_synthetic_reader(128, 128), cfg,
+            sample_order=np.arange(3), sample_weights=w,
+        )
+
+
 def test_bag_loader_surfaces_reader_errors():
     cfg = PipelineConfig(height=128, width=128, patch_size=64, bucket=8)
 

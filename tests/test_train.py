@@ -147,6 +147,36 @@ def test_grad_accumulation_semantics():
     np.testing.assert_allclose(np.asarray(s2.params["w"]), np.asarray(expect), atol=1e-6)
 
 
+def test_trailing_accumulation_flush_without_len():
+    """A trailing partial accumulation group flushes at epoch end even for a
+    bare generator loader (reference steps at epoch end unconditionally,
+    net_utils.py:55-57)."""
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+    from montecarlo_gated_mil_tpu.train.loops import train_epoch
+
+    model = _TinyModel()
+    opt = optax.sgd(0.5)
+    step = make_train_step(model, cross_entropy, opt, accumulation_steps=2)
+    state = TrainState.create({"w": jnp.asarray([1.0, 2.0])}, opt)
+
+    def bags():  # 3 bags, no __len__: batch 2 steps, batch 3 must flush
+        for v in (1.0, 2.0, 3.0):
+            yield (
+                Bag(
+                    patches=jnp.full((2, 2, 2, 3), v),
+                    mask=jnp.ones(2, bool),
+                    label=jnp.asarray(1),
+                    tile_indices=jnp.zeros(2, jnp.int32),
+                ),
+                None,
+            )
+
+    out = train_epoch(
+        step, state, bags(), epoch=0, accumulation_steps=2, key=jax.random.key(0)
+    )
+    assert int(out.step) == 2 and int(out.acc_count) == 0
+
+
 def test_early_stopping_reference_semantics():
     es = EarlyStopping(patience=2)
     assert not es(1.0, "p1")  # improvement -> counter reset
