@@ -164,7 +164,15 @@ class Config:
     device: str = "tpu"
     model_path: str = "/tmp/mcgmil_models"
     model: str = "r18"
+    # Name under which run_training saves the best model (the reference's
+    # config.yml:7 holds exactly such a uuid hex); empty -> fresh uuid4.
     model_id: str = ""
+    # Path to a torch state_dict (.pth) whose backbone weights initialize the
+    # feature extractor — the reference builds its ResNet ImageNet-pretrained
+    # by default (/root/reference/model.py:41-50).  Keys may be bare
+    # torchvision names or carry the reference's ``feature_extractor.``
+    # prefix.  Empty -> random init.
+    backbone_weights: str = ""
     shared_att: bool = False
     is_mcdo_val: bool = False
     is_mcdo_test: bool = True

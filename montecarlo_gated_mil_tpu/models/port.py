@@ -94,6 +94,22 @@ def port_backbone(
     return out
 
 
+def load_backbone_params(path: str, backbone: str = "r18") -> Params:
+    """Load a ``.pth`` state_dict and port just the backbone weights.
+
+    Accepts either bare torchvision keys (``conv1.weight``, ...) or the
+    reference's full-model dicts where the backbone lives under
+    ``feature_extractor.`` (``/root/reference/model.py:41-54``).
+    """
+    sd = load_state_dict(path)
+    prefix = (
+        "feature_extractor."
+        if any(k.startswith("feature_extractor.") for k in sd)
+        else ""
+    )
+    return port_backbone(sd, backbone, prefix=prefix)
+
+
 def port_multihead_gamil(
     sd: Mapping[str, Any],
     backbone: str = "r18",

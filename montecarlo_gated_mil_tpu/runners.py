@@ -93,6 +93,28 @@ def init_params(model, key: jax.Array):
     return variables["params"]
 
 
+def initial_params(cfg: Config, model, key: jax.Array):
+    """Initial parameters for training: random heads, and — when
+    ``cfg.backbone_weights`` points at a saved torch state_dict — the
+    feature extractor replaced by the ported weights (the reference
+    constructs its ResNet ImageNet-pretrained by default,
+    ``/root/reference/model.py:41-50``; fine-tuning from pretrained features
+    is the experiment it actually runs)."""
+    params = init_params(model, key)
+    if cfg.backbone_weights:
+        from montecarlo_gated_mil_tpu.models.port import load_backbone_params
+
+        feats = load_backbone_params(cfg.backbone_weights, cfg.model)
+        params = dict(params)
+        # tree-map against the initialized backbone so any structure or
+        # shape mismatch fails loudly, and dtypes follow the param dtype.
+        params["features"] = jax.tree.map(
+            lambda like, v: jnp.asarray(v, like.dtype), params["features"], feats
+        )
+        print(f"Initialized backbone from {cfg.backbone_weights}")
+    return params
+
+
 def _fit(
     cfg: Config,
     model,
@@ -120,7 +142,7 @@ def _fit(
         params_key = jax.random.fold_in(params_key, fold)
     criterion = build_criterion(cfg)
     optimizer = build_optimizer(cfg)
-    params = init_params(model, params_key)
+    params = initial_params(cfg, model, params_key)
     state = TrainState.create(params, optimizer)
     step_fn = make_train_step(
         model, criterion, optimizer, cfg.training_plan.parameters.grad_acc_steps
@@ -181,7 +203,9 @@ def run_training(
     )
     best = stopper.best_params if stopper.best_params is not None else state.params
     ckpt = Checkpointer(cfg.model_path)
-    name = uuid.uuid4().hex
+    # model_id pins the saved-model name (the reference's config.yml:7 holds
+    # exactly such a uuid hex); empty -> fresh uuid4 like main.py:92-94.
+    name = cfg.model_id or uuid.uuid4().hex
     path = ckpt.save_params(name, best)
     metrics.log("best_model_path", path)
     # Rebuild + reload (exercises the restore path like main.py:97-105).

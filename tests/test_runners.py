@@ -57,6 +57,69 @@ def tiny_cfg(tmp_path_factory):
     return _tiny_config(tmp_path_factory.mktemp("run"))
 
 
+def test_pretrained_backbone_wiring(tmp_path):
+    """``backbone_weights`` initializes the feature extractor from a saved
+    torch state_dict (reference builds its ResNet ImageNet-pretrained by
+    default, model.py:41-50): the ported init carries the exact ported
+    weights and yields a different initial val loss than random init."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    import torch
+
+    from montecarlo_gated_mil_tpu.experiment import (
+        build_criterion,
+        build_model,
+        get_dataloaders,
+    )
+    from montecarlo_gated_mil_tpu.models.port import port_backbone
+    from montecarlo_gated_mil_tpu.runners import initial_params
+    from montecarlo_gated_mil_tpu.train.loops import validate
+    from tests.torch_ref import TorchMultiHeadGAMIL
+
+    torch.manual_seed(0)
+    tm = TorchMultiHeadGAMIL(backbone="r18", shared_attention=True)
+    pth = tmp_path / "pretrained.pth"
+    torch.save(tm.state_dict(), pth)
+
+    cfg = _tiny_config(tmp_path, backbone_weights=str(pth))
+    model = build_model(cfg)
+    key = jax.random.key(0)
+    ported = initial_params(cfg, model, key)
+    rand = initial_params(dataclasses.replace(cfg, backbone_weights=""), model, key)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    expect = port_backbone(sd, "r18", prefix="feature_extractor.")
+    np.testing.assert_array_equal(
+        np.asarray(ported["features"]["conv1"]["kernel"]), expect["conv1"]["kernel"]
+    )
+    assert not np.array_equal(
+        np.asarray(rand["features"]["conv1"]["kernel"]), expect["conv1"]["kernel"]
+    )
+    data = get_dataloaders(cfg)
+    criterion = build_criterion(cfg)
+    l_ported = validate(model, ported, data.val, criterion, epoch=0)
+    l_rand = validate(model, rand, data.val, criterion, epoch=0)
+    assert l_ported != pytest.approx(l_rand)
+
+
+def test_model_id_pins_saved_name(tmp_path):
+    """A non-empty model_id (reference config.yml:7) names the saved best
+    model instead of a fresh uuid."""
+    cfg = _tiny_config(
+        tmp_path,
+        model_id="cafe0123deadbeef",
+        training_plan={
+            "weighted_sampler": False,
+            "parameters": {"epochs": 1, "patience": 1, "grad_acc_steps": 1},
+        },
+    )
+    from montecarlo_gated_mil_tpu.runners import run_training
+
+    result = run_training(cfg)
+    assert os.path.basename(result["best_model_path"]) == "cafe0123deadbeef"
+
+
 def test_run_training_end_to_end(tiny_cfg):
     from montecarlo_gated_mil_tpu.runners import run_training
     from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
