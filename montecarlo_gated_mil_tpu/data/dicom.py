@@ -83,8 +83,11 @@ def split_cc_mlo(paths: tuple[str, ...]) -> tuple[str, str]:
 
 
 def make_dicom_reader(root: str = ""):
-    """Reader for :class:`BagLoader`: unimodal records -> one image; paired
-    records -> (CC, MLO) image tuple."""
+    """Reader for :class:`BagLoader`: yields :class:`PixelData` so patient
+    metadata rides along with the pixels.  Multimodal metadata comes from the
+    MLO file (the reference returns the last-read dcm, ``dataset.py:93-103``)."""
+    from montecarlo_gated_mil_tpu.data.records import PixelData
+
     _require_pydicom()
 
     def read(rec: BagRecord):
@@ -92,8 +95,11 @@ def make_dicom_reader(root: str = ""):
             os.path.join(root, rec.class_name, p) if root else p for p in rec.paths
         )
         if len(paths) == 1:
-            return read_dicom(paths[0])[0]
+            img, meta = read_dicom(paths[0])
+            return PixelData((img,), meta)
         cc_path, mlo_path = split_cc_mlo(paths)
-        return read_dicom(cc_path)[0], read_dicom(mlo_path)[0]
+        cc, _ = read_dicom(cc_path)
+        mlo, meta = read_dicom(mlo_path)
+        return PixelData((cc, mlo), meta)
 
     return read

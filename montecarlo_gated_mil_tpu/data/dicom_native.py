@@ -117,17 +117,22 @@ def read_dicom_native(path: str | os.PathLike) -> tuple[np.ndarray, DicomMeta]:
 
 def make_native_dicom_reader(root: str = ""):
     """BagLoader reader over the native parser (CC/MLO pairing as in
-    ``data.dicom.make_dicom_reader``)."""
+    ``data.dicom.make_dicom_reader``); yields :class:`PixelData` so patient
+    metadata rides along.  Multimodal metadata comes from the MLO file (the
+    reference returns the last-read dcm, ``dataset.py:93-103``)."""
     from montecarlo_gated_mil_tpu.data.dicom import split_cc_mlo
-    from montecarlo_gated_mil_tpu.data.records import BagRecord
+    from montecarlo_gated_mil_tpu.data.records import BagRecord, PixelData
 
     def read(rec: BagRecord):
         paths = tuple(
             os.path.join(root, rec.class_name, p) if root else p for p in rec.paths
         )
         if len(paths) == 1:
-            return read_dicom_native(paths[0])[0]
+            img, meta = read_dicom_native(paths[0])
+            return PixelData((img,), meta)
         cc_path, mlo_path = split_cc_mlo(paths)
-        return read_dicom_native(cc_path)[0], read_dicom_native(mlo_path)[0]
+        cc, _ = read_dicom_native(cc_path)
+        mlo, meta = read_dicom_native(mlo_path)
+        return PixelData((cc, mlo), meta)
 
     return read

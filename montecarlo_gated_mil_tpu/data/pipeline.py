@@ -214,8 +214,25 @@ class BagLoader:
         return order
 
     def _make_bag(self, i: int, epoch: int) -> tuple[Bag, BagRecord]:
+        from dataclasses import replace as dc_replace
+
+        from montecarlo_gated_mil_tpu.data.records import PixelData
+
         rec = self.records[i]
         raw = self.reader(rec)
+        if isinstance(raw, PixelData):
+            # DICOM readers carry header metadata: the ImageLaterality tag
+            # supersedes the table heuristic (reference dataset.py:57,62) and
+            # patient_id/age enrich the yielded record (dataset.py:51-64).
+            meta = raw.meta
+            if meta is not None:
+                rec = dc_replace(
+                    rec,
+                    laterality=getattr(meta, "laterality", "") or rec.laterality,
+                    patient_id=getattr(meta, "patient_id", "") or rec.patient_id,
+                    age=meta.age if getattr(meta, "age", -1) >= 0 else rec.age,
+                )
+            raw = raw.images if len(raw.images) > 1 else raw.images[0]
         if self.multimodal:
             cc, mlo = raw
             image = np.concatenate([np.asarray(mlo), np.asarray(cc)], axis=0)

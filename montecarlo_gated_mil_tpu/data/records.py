@@ -18,16 +18,39 @@ CLASS_TO_GROUP = {"Normal": 0, "Benign": 0, "Malignant": 1, "Lymph_nodes": 1}
 
 @dataclass(frozen=True)
 class BagRecord:
-    """One bag-to-be: file path(s), class name, laterality, view."""
+    """One bag-to-be: file path(s), class name, laterality, view.
+
+    ``laterality`` starts as the metadata-table/view heuristic and is
+    superseded by the DICOM ``ImageLaterality`` tag once pixels are read
+    (reference reads it from the file, ``dataset.py:57,62``);
+    ``patient_id``/``age`` likewise fill from the DICOM header
+    (``dataset.py:51-64``) — the loader yields the enriched record.
+    """
 
     paths: tuple[str, ...]  # 1 file (unimodal) or (CC, MLO) pair (multimodal)
     class_name: str
     view: str
     laterality: str = ""
+    patient_id: str = ""
+    age: int = -1
 
     @property
     def label(self) -> int:
         return 1 if self.class_name in POSITIVE_CLASSES else 0
+
+
+@dataclass(frozen=True)
+class PixelData:
+    """Reader output carrying pixels plus the source file's DICOM metadata.
+
+    ``images`` is ``(img,)`` unimodal or ``(cc, mlo)`` multimodal; ``meta``
+    is a :class:`~montecarlo_gated_mil_tpu.data.dicom.DicomMeta` (or None for
+    metadata-less readers).  Plain arrays / (cc, mlo) tuples remain valid
+    reader outputs for synthetic and custom readers.
+    """
+
+    images: tuple
+    meta: object | None = None
 
 
 def select_records(

@@ -12,6 +12,31 @@ from typing import Sequence
 import numpy as np
 
 
+class Report(str):
+    """Classification-report text that also carries the sklearn dict form,
+    so fold aggregation (``cross_val_eval.py:37-56``) can average per-class
+    precision/recall/F1 without re-running predictions."""
+
+    data: dict
+
+    def __new__(cls, text: str, data: dict) -> "Report":
+        obj = super().__new__(cls, text)
+        obj.data = data
+        return obj
+
+
+def classification_report(
+    targets: Sequence[int],
+    preds: Sequence[int],
+    target_names: tuple[str, str] = ("Negative", "Positive"),
+) -> Report:
+    """Text + dict classification report in one object."""
+    return Report(
+        classification_report_text(targets, preds, target_names),
+        classification_report_dict(targets, preds, target_names),
+    )
+
+
 def classification_report_text(
     targets: Sequence[int],
     preds: Sequence[int],

@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 from montecarlo_gated_mil_tpu.core import rng as rnglib
 from montecarlo_gated_mil_tpu.core.config import Config, config_to_dict
-from montecarlo_gated_mil_tpu.evaluation.report import aggregate_fold_accuracies
+from montecarlo_gated_mil_tpu.evaluation.report import (
+    aggregate_classification_reports,
+    aggregate_fold_accuracies,
+)
 from montecarlo_gated_mil_tpu.experiment import (
     build_criterion,
     build_model,
@@ -268,19 +271,19 @@ def run_cv_eval(
         model, rnglib.named_key(rnglib.root_key(cfg.seed), "params")
     )
     test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "cv-eval")
-    mc_accs, det_accs = [], []
+    mc_accs, det_accs, mc_reports, det_reports = [], [], [], []
     for entry in manifest["folds"]:
         fold = entry["fold"]
         data = get_fold_dataloaders(cfg, fold - 1)
         params = ckpt.restore_params(entry["checkpoint"], params_like)
         t0 = time.time()
-        mc_acc, _ = _mc_test(
+        mc_acc, mc_report = _mc_test(
             cfg, model, params, data.test,
             key=jax.random.fold_in(test_key, fold), metrics=metrics, fold=fold,
         )
         mc_time = time.time() - t0
         t0 = time.time()
-        det_acc, _ = test(model, params, data.test, metrics=metrics, fold=fold)
+        det_acc, det_report = test(model, params, data.test, metrics=metrics, fold=fold)
         det_time = time.time() - t0
         print(
             f"fold {fold}: MC-ACC {mc_acc:.4f} ({mc_time:.2f}s)  "
@@ -288,9 +291,14 @@ def run_cv_eval(
         )
         mc_accs.append(mc_acc)
         det_accs.append(det_acc)
+        mc_reports.append(mc_report.data)
+        det_reports.append(det_report.data)
+    # Fold-averaged per-class precision/recall/F1 (cross_val_eval.py:37-56).
     result = {
         "mc": aggregate_fold_accuracies(mc_accs),
         "deterministic": aggregate_fold_accuracies(det_accs),
+        "mc_report": aggregate_classification_reports(mc_reports),
+        "deterministic_report": aggregate_classification_reports(det_reports),
     }
     print(
         f"MC-ACC: {result['mc']['mean']:.4f} ± {result['mc']['std']:.4f}   "

@@ -279,10 +279,12 @@ _ZERO_CRITERION = _zero_criterion
 
 
 def _finish_test(all_targets, all_preds, metrics, fold):
-    from montecarlo_gated_mil_tpu.evaluation.report import classification_report_text
+    from montecarlo_gated_mil_tpu.evaluation.report import classification_report
 
     acc = float(np.mean(np.asarray(all_preds) == np.asarray(all_targets)))
-    report = classification_report_text(all_targets, all_preds)
+    # a Report: prints/logs as the sklearn text, carries .data for fold
+    # aggregation of per-class precision/recall/F1.
+    report = classification_report(all_targets, all_preds)
     m = metrics or Metrics([])
     if fold is None:
         m.log("test/accuracy", acc)

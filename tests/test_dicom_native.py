@@ -113,6 +113,44 @@ def test_bag_loader_reader(tmp_path):
         view="Left",
         laterality="L",
     )
-    cc, mlo = reader(rec)
+    out = reader(rec)
+    cc, mlo = out.images
     np.testing.assert_allclose(cc, 100 / 1023, atol=1e-7)
     np.testing.assert_allclose(mlo, 900 / 1023, atol=1e-7)
+    # metadata from the MLO file (reference returns the last-read dcm,
+    # dataset.py:93-103)
+    assert out.meta.patient_id == "PAT123" and out.meta.age == 42
+
+
+def test_dicom_metadata_lands_in_records(tmp_path):
+    """End-to-end: BagLoader yields records enriched with the DICOM header's
+    patient_id/age, and the ImageLaterality tag supersedes the table
+    laterality (reference dataset.py:51-64)."""
+    import jax.numpy as jnp
+
+    from montecarlo_gated_mil_tpu.data.pipeline import BagLoader, PipelineConfig
+    from montecarlo_gated_mil_tpu.data.records import BagRecord
+
+    rng = np.random.default_rng(1)
+    px = rng.integers(200, 1023, size=(64, 64), dtype=np.uint16)
+    p = tmp_path / "u_R_CC.dcm"
+    # table says L, the file's tag says R -> tag wins
+    _write_dicom(p, 64, 64, 10, px, patient_id=b"PATX", age=b"057Y",
+                 laterality=b"R")
+    rec = BagRecord(paths=(str(p),), class_name="Malignant", view="RCC",
+                    laterality="L")
+    cfg = PipelineConfig(height=64, width=64, patch_size=32, overlap=0.0,
+                         empty_threshold=0.05, bucket=8)
+    loader = BagLoader([rec], make_native_dicom_reader(), cfg)
+    (bag, out_rec), = list(loader.epoch(0))
+    assert out_rec.patient_id == "PATX"
+    assert out_rec.age == 57
+    assert out_rec.laterality == "R"
+    # laterality flip applied: bag differs from the unflipped pipeline
+    loader_l = BagLoader(
+        [BagRecord(paths=(str(p),), class_name="Malignant", view="RCC",
+                   laterality="L")],
+        lambda r: (px / 1023.0).astype(np.float32), cfg,
+    )
+    (bag_l, _), = list(loader_l.epoch(0))
+    assert not jnp.allclose(bag.patches, bag_l.patches)

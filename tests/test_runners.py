@@ -157,6 +157,12 @@ def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
     result = run_cv_eval(tiny_cfg, mpath, Metrics([MemorySink()]))
     assert len(result["mc"]["per_fold"]) == 2
     assert len(result["deterministic"]["per_fold"]) == 2
+    # fold-averaged per-class P/R/F1 (cross_val_eval.py:37-56)
+    for key in ("mc_report", "deterministic_report"):
+        rep = result[key]
+        for cls in ("Negative", "Positive"):
+            assert {"precision", "recall", "f1-score"} <= set(rep[cls])
+            assert 0.0 <= rep[cls]["f1-score"] <= 1.0
 
     # inference figures from the same manifest
     from montecarlo_gated_mil_tpu.viz.infer import run_inference
