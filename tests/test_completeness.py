@@ -2,6 +2,7 @@
 counterfactual dropout, profiling, resume."""
 
 import numpy as np
+import pytest
 import optax
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def _setup(n=8, hw=32, n_valid=6, seed=0, **kw):
     return model, variables, patches, mask
 
 
+@pytest.mark.slow
 def test_serial_matches_vmapped_statistically():
     """Same per-sample keys => identical results between scan and vmap."""
     model, variables, patches, mask = _setup()
@@ -121,6 +123,7 @@ def test_phase_timer():
     assert set(d) == {"a", "b"} and d["a"]["calls"] == 2
 
 
+@pytest.mark.slow
 def test_resume_continues_training(tmp_path):
     """Interrupted run resumes from the checkpointed epoch."""
     from montecarlo_gated_mil_tpu.core.config import config_from_dict

@@ -50,6 +50,7 @@ def test_kernel_matches_reference_no_dropout():
     assert np.all(np.asarray(a_k)[:, :, 50:] == 0)
 
 
+@pytest.mark.slow
 def test_kernel_matches_model_head_no_dropout():
     """Kernel path == flax model head at dropout 0 (same weights via
     GatedAttentionParams.from_model_params)."""

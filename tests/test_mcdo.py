@@ -1,6 +1,7 @@
 """MCDO sampling behavior: determinism, independence, statistics formulas."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -107,6 +108,7 @@ def test_interpret_entropy_buckets():
     assert interpret_entropy(0.9) == "high"
 
 
+@pytest.mark.slow
 def test_mc_inference_batched_over_bags():
     """vmap over bags keeps per-bag independence."""
     model, variables, patches, mask = _tiny_setup()

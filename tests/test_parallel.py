@@ -36,6 +36,7 @@ def test_mesh_construction():
         make_mesh(data=3)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_matches_single_device():
     mesh = make_mesh()
     model = MultiHeadGatedAttentionMIL()
@@ -84,6 +85,7 @@ def test_dp_mc_eval_sharded():
     assert np.asarray(atts)[:, :, :, 6:].max() == 0.0
 
 
+@pytest.mark.slow
 def test_instance_sharded_attention_matches_single_chip():
     """Two-pass psum softmax over the inst axis == single-chip head math."""
     from montecarlo_gated_mil_tpu.ops.gated_attention import (
@@ -134,6 +136,7 @@ def test_instance_sharded_attention_matches_single_chip():
         sharded_gated_attention(H[:60], mask[:60], params, mesh)
 
 
+@pytest.mark.slow
 def test_mc_test_dp_matches_sequential():
     """Sharded MC test == sequential mc_test, bag for bag (same keys)."""
     from montecarlo_gated_mil_tpu.data import (

@@ -57,6 +57,7 @@ def tiny_cfg(tmp_path_factory):
     return _tiny_config(tmp_path_factory.mktemp("run"))
 
 
+@pytest.mark.slow
 def test_pretrained_backbone_wiring(tmp_path):
     """``backbone_weights`` initializes the feature extractor from a saved
     torch state_dict (reference builds its ResNet ImageNet-pretrained by
@@ -103,6 +104,7 @@ def test_pretrained_backbone_wiring(tmp_path):
     assert l_ported != pytest.approx(l_rand)
 
 
+@pytest.mark.slow
 def test_model_id_pins_saved_name(tmp_path):
     """A non-empty model_id (reference config.yml:7) names the saved best
     model instead of a fresh uuid."""
@@ -120,6 +122,7 @@ def test_model_id_pins_saved_name(tmp_path):
     assert os.path.basename(result["best_model_path"]) == "cafe0123deadbeef"
 
 
+@pytest.mark.slow
 def test_run_training_end_to_end(tiny_cfg):
     from montecarlo_gated_mil_tpu.runners import run_training
     from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
@@ -134,6 +137,7 @@ def test_run_training_end_to_end(tiny_cfg):
     assert sink.values("test/accuracy") == [result["test_accuracy"]]
 
 
+@pytest.mark.slow
 def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
     from montecarlo_gated_mil_tpu.runners import run_cross_validation, run_cv_eval
     from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
@@ -173,6 +177,7 @@ def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
         assert os.path.exists(p + ".png") and os.path.exists(p + ".pdf")
 
 
+@pytest.mark.slow
 def test_cli_train(tmp_path, capsys):
     import yaml
 

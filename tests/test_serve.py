@@ -1,6 +1,7 @@
 """Serving predictor: end-to-end raw image -> prediction with maps."""
 
 import numpy as np
+import pytest
 import jax
 
 from montecarlo_gated_mil_tpu.data.pipeline import PipelineConfig
@@ -29,6 +30,7 @@ def _predictor(num_samples=4):
     )
 
 
+@pytest.mark.slow
 def test_predict_end_to_end():
     p = _predictor()
     img = synthetic_image(128, 128, positive=True, seed=1)
@@ -43,6 +45,7 @@ def test_predict_end_to_end():
     assert r.attention_mean_maps.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow
 def test_predict_deterministic_per_seed_and_laterality_matters():
     p = _predictor()
     img = synthetic_image(128, 128, positive=False, seed=2)
@@ -53,6 +56,7 @@ def test_predict_deterministic_per_seed_and_laterality_matters():
     assert float(a.stats.mean) != float(c.stats.mean) or a.num_instances != c.num_instances
 
 
+@pytest.mark.slow
 def test_predict_many_and_warmup():
     p = _predictor(num_samples=2)
     p.warmup()
@@ -62,6 +66,7 @@ def test_predict_many_and_warmup():
     assert all(r.prediction in (0, 1) for r in rs)
 
 
+@pytest.mark.slow
 def test_from_config():
     from montecarlo_gated_mil_tpu.core.config import config_from_dict
     from montecarlo_gated_mil_tpu.runners import init_params
