@@ -143,9 +143,9 @@ class TpuConfig:
     # Shard MC test evaluation over all devices (bags data-parallel); falls
     # back to the sequential path on a single device.
     data_parallel_eval: bool = True
-    # Training loader picks the smallest registry bucket per bag (sparse
-    # bags skip padded embedding compute); eval loaders keep a fixed bucket
-    # so bags can stack for data-parallel evaluation.
+    # Loaders pick the smallest registry bucket per bag (sparse bags skip
+    # padded embedding compute); data-parallel eval groups bags per bucket
+    # before stacking, so this composes with sharded evaluation.
     adaptive_buckets: bool = True
 
     def validate(self) -> None:

@@ -159,8 +159,8 @@ class BagLoader:
     per-bucket extract program) instead of always padding to ``cfg.bucket``
     — sparse mammograms then skip most of the padded embedding compute.
     XLA program count stays bounded by ``len(bucket_spec.sizes)`` per stage.
-    Bags from different buckets cannot be stacked, so keep it off for
-    batched (data-parallel) evaluation.
+    Data-parallel evaluation groups bags per bucket before stacking
+    (``evaluation/dp_eval.py``), so mixed buckets compose with sharded eval.
     """
 
     def __init__(

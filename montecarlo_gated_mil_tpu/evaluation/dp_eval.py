@@ -1,12 +1,15 @@
 """Data-parallel MC test: bags sharded over the device mesh.
 
 BASELINE.json config 5: k-fold CV evaluation data-parallel over bucketed
-bags.  Bags from the loader are grouped into mesh-sized batches, stacked,
-sharded over the ``data`` axis and evaluated with one compiled SPMD program;
-the per-bag PRNG keys match the sequential ``loops.mc_test`` scheme
-(``fold_in(key, bag_index)``), so predictions are identical to the
-sequential path bag-for-bag.  The last partial group is padded by repeating
-its first bag and the padding results are dropped.
+bags.  Bags from the loader are grouped **per bucket size** into mesh-sized
+batches, stacked, sharded over the ``data`` axis and evaluated with one
+compiled SPMD program per bucket — so adaptive per-bag buckets (sparse bags
+in small buckets) compose with sharded eval instead of paying full padding.
+The per-bag PRNG keys match the sequential ``loops.mc_test`` scheme
+(``fold_in(key, bag_index)`` with the bag's stream position), so predictions
+are identical to the sequential path bag-for-bag regardless of grouping.
+Partial groups are padded by repeating their first bag; padding results are
+dropped and outputs are re-ordered to stream order.
 """
 
 from __future__ import annotations
@@ -47,9 +50,9 @@ def mc_test_dp(
         probs = jax.nn.softmax(preds, axis=-1)
         return jnp.argmax(jnp.mean(probs, axis=1), axis=-1)
 
-    preds_out: list[int] = []
+    results: dict[int, int] = {}
     targets: list[int] = []
-    group: list = []
+    groups: dict[int, list] = {}  # bucket size -> [(bag, stream index)]
 
     def flush(group):
         n_real = len(group)
@@ -63,15 +66,19 @@ def mc_test_dp(
         )
         preds, _ = eval_step(params, stacked, keys)
         labels = reduce_preds(preds)
-        preds_out.extend(int(x) for x in np.asarray(labels)[:n_real])
+        for (_, orig_i), pred in zip(group, np.asarray(labels)[:n_real]):
+            results[orig_i] = int(pred)
 
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         targets.append(int(bag.label))
+        group = groups.setdefault(bag.bucket, [])
         group.append((bag, i))
         if len(group) == batch:
             flush(group)
-            group = []
-    if group:
-        flush(group)
+            groups[bag.bucket] = []
+    for group in groups.values():
+        if group:
+            flush(group)
+    preds_out = [results[i] for i in range(len(targets))]
     return _finish_test(targets, preds_out, metrics, fold)

@@ -148,12 +148,14 @@ def _bundle(
     mk = lambda r, pc, **kw: BagLoader(  # noqa: E731
         r, reader, pc, multimodal=mm, seed=cfg.seed, **kw
     )
-    train_spec = BucketSpec(cfg.tpu.buckets) if cfg.tpu.adaptive_buckets else None
+    # Adaptive buckets apply to eval too: sequential eval compiles one
+    # program per bucket, and dp_eval groups bags per bucket before stacking.
+    spec = BucketSpec(cfg.tpu.buckets) if cfg.tpu.adaptive_buckets else None
     return DataBundle(
         train=mk(train_recs, train_cfg, shuffle=True, sample_weights=sample_w,
-                 bucket_spec=train_spec),
-        val=mk([recs[i] for i in val_idx], eval_cfg),
-        test=mk([recs[i] for i in test_idx], eval_cfg),
+                 bucket_spec=spec),
+        val=mk([recs[i] for i in val_idx], eval_cfg, bucket_spec=spec),
+        test=mk([recs[i] for i in test_idx], eval_cfg, bucket_spec=spec),
         records=recs,
     )
 

@@ -186,12 +186,64 @@ class MCDOPredictor:
         )
 
     def predict_many(
-        self, images, lateralities=None, *, seed: int = 0
+        self, images, lateralities=None, *, seed: int = 0, dp: bool | None = None
     ) -> list[PredictionResult]:
-        """Sequential convenience wrapper (each dispatch is already one warm
-        XLA program; overlap comes from JAX's async dispatch)."""
+        """Batch prediction.  With more than one device (``dp=None`` auto,
+        ``dp=True`` forced) requests are stacked into mesh-sized batches and
+        evaluated data-parallel over the ``data`` axis — one SPMD dispatch
+        per group instead of one per image.  Per-request PRNG keys match the
+        sequential path (``key(seed + i)``), so predictions are identical to
+        ``predict`` except that the sharded path always uses the vmap MC head
+        (the fused kernel's hardware-PRNG dropout is per-core; predictions
+        are statistically equivalent when ``use_pallas``)."""
         lateralities = lateralities or ["L"] * len(images)
-        return [
-            self.predict(img, lat, seed=seed + i)
+        if dp is None:
+            dp = jax.device_count() > 1 and len(images) > 1
+        if not dp:
+            return [
+                self.predict(img, lat, seed=seed + i)
+                for i, (img, lat) in enumerate(zip(images, lateralities))
+            ]
+        from montecarlo_gated_mil_tpu.core.bag import stack_bags
+        from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval
+        from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh, shard_batch
+
+        if not hasattr(self, "_dp_state"):
+            mesh = make_mesh()
+            self._dp_state = (mesh, make_dp_mc_eval(self.model, mesh, self.num_samples))
+        mesh, eval_step = self._dp_state
+        batch = int(mesh.shape["data"])
+
+        @jax.jit
+        def _bag_fn(image, flip, bag_seed):
+            return image_to_bag(
+                image, flip, jnp.asarray(0), jax.random.key(bag_seed),
+                self._starts, self.pipeline,
+            )
+
+        bags = [
+            _bag_fn(jnp.asarray(img, jnp.float32), jnp.asarray(lat == "R"),
+                    jnp.asarray(seed + i, jnp.int32))
             for i, (img, lat) in enumerate(zip(images, lateralities))
         ]
+        results: list[PredictionResult | None] = [None] * len(images)
+        for lo in range(0, len(bags), batch):
+            group = bags[lo : lo + batch]
+            n_real = len(group)
+            group = group + [group[0]] * (batch - n_real)
+            keys = jnp.stack(
+                [jax.random.key(seed + lo + j) for j in range(n_real)]
+                + [jax.random.key(seed + lo)] * (batch - n_real)
+            )
+            ys, atts = eval_step(self.params, shard_batch(mesh, stack_bags(group)), keys)
+            for j in range(n_real):
+                bag = bags[lo + j]
+                stats = predictive_stats(ys[j])
+                att = attention_stats(atts[j], bag.mask)
+                results[lo + j] = PredictionResult(
+                    prediction=int(stats.prediction),
+                    stats=jax.device_get(stats),
+                    attention=jax.device_get(att),
+                    num_instances=int(bag.num_instances),
+                )
+        return results

@@ -171,3 +171,40 @@ def test_mc_test_dp_matches_sequential():
     )
     assert acc_dp == acc_seq
     assert rep_dp == rep_seq
+
+
+@pytest.mark.slow
+def test_mc_test_dp_mixed_buckets_matches_sequential():
+    """Adaptive per-bag buckets compose with sharded eval: dp groups bags by
+    bucket, flushes partial groups per bucket, and re-orders predictions to
+    stream order — identical to the sequential path bag-for-bag."""
+    from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
+    from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
+    from montecarlo_gated_mil_tpu.train.loops import mc_test
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    model = MultiHeadGatedAttentionMIL()
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(11):  # buckets 8 and 16 interleaved, both groups partial
+        n, bucket = (5, 8) if i % 2 else (12, 16)
+        patches = rng.normal(size=(n, 64, 64, 3)).astype(np.float32)
+        bag = pad_to_bucket(
+            patches, np.arange(n, dtype=np.int32), int(i % 3 == 0), bucket
+        )
+        items.append((bag, None))
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, items[0][0].patches, items[0][0].mask
+    )
+    tkey = jax.random.key(9)
+    acc_seq, rep_seq = mc_test(
+        model, variables["params"], items, num_samples=3, key=tkey,
+        metrics=Metrics([MemorySink()]),
+    )
+    acc_dp, rep_dp = mc_test_dp(
+        model, variables["params"], items, num_samples=3, key=tkey,
+        mesh=make_mesh(), metrics=Metrics([MemorySink()]),
+    )
+    assert acc_dp == acc_seq
+    assert rep_dp == rep_seq

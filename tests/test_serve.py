@@ -67,6 +67,29 @@ def test_predict_many_and_warmup():
 
 
 @pytest.mark.slow
+def test_predict_many_dp_matches_sequential():
+    """Sharded predict_many == sequential predict per request (same per-
+    request keys), on the 8-device CPU mesh; partial group padding dropped."""
+    p = _predictor(num_samples=3)
+    imgs = [
+        synthetic_image(128, 128, positive=bool(i % 2), seed=10 + i)
+        for i in range(5)
+    ]
+    seq = p.predict_many(imgs, seed=3, dp=False)
+    dp = p.predict_many(imgs, seed=3, dp=True)
+    assert len(dp) == len(seq) == 5
+    for a, b in zip(seq, dp):
+        assert a.prediction == b.prediction
+        assert a.num_instances == b.num_instances
+        np.testing.assert_allclose(
+            np.asarray(a.stats.mean), np.asarray(b.stats.mean), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.attention.mean), np.asarray(b.attention.mean), atol=1e-5
+        )
+
+
+@pytest.mark.slow
 def test_from_config():
     from montecarlo_gated_mil_tpu.core.config import config_from_dict
     from montecarlo_gated_mil_tpu.runners import init_params
