@@ -177,41 +177,16 @@ def _mc_kernel(
     a_ref[0] = A
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_samples", "feature_dropout", "attention_dropout", "interpret"),
-)
-def mc_gated_attention_fused(
-    H: Array,
-    mask: Array,
-    params: GatedAttentionParams,
-    num_samples: int,
-    seed: Array,
-    feature_dropout: float = 0.1,
-    attention_dropout: float = 0.1,
-    interpret: bool = False,
-) -> tuple[Array, Array]:
-    """All T MC samples of the gated-attention head in one Pallas kernel.
-
-    Args:
-      H: ``(N, L)`` patch features (any float dtype; compute is f32).
-      mask: ``(N,)`` bool validity.
-      seed: scalar int32 base seed; sample t uses ``seed + t``.
-    Returns ``(Y (T, C) f32, A (T, C, N) f32)`` matching
-    ``mc_head_reference`` semantics (different PRNG stream).
-    """
+def _fused_fwd_call(
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba, *, num_samples, p_feat, p_att, interpret
+):
+    """The forward ``pallas_call`` (T-grid; H and weights VMEM-resident)."""
     n, l = H.shape
-    if n % 8:
-        raise ValueError(f"bucket size N={n} must be a multiple of 8 (TPU sublanes)")
-    d = params.w_V.shape[-1]
-    c = params.w_att.shape[-1]
-    seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(num_samples, dtype=jnp.int32)
-    mask_f = mask.astype(jnp.float32)[:, None]
-    kernel = functools.partial(
-        _mc_kernel, p_feat=float(feature_dropout), p_att=float(attention_dropout)
-    )
+    d = wv.shape[-1]
+    c = wa.shape[-1]
+    kernel = functools.partial(_mc_kernel, p_feat=p_feat, p_att=p_att)
     const = lambda *_: (0, 0)  # noqa: E731 — block constant across the grid
-    pooled, a = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(num_samples,),
         in_specs=[
@@ -239,7 +214,275 @@ def mc_gated_attention_fused(
             transcendentals=num_samples * 2 * n * d,
         ),
         interpret=interpret,
-    )(
+    )(seeds, H, mask_f, wv, bv, wu, bu, wa, ba)
+
+
+def _mc_bwd_kernel(
+    seed_ref,  # (T,) SMEM int32
+    h_ref,  # (N, L) VMEM
+    mask_ref,  # (N, 1) VMEM float
+    wv_ref,  # (L, D)
+    wu_ref,  # (L, D)
+    wa_ref,  # (D, C)
+    bv_ref,  # (1, D)
+    bu_ref,  # (1, D)
+    ba_ref,  # (1, C)
+    dm_ref,  # (1, C, L) cotangent of pooled M for sample t
+    da_ref,  # (1, N, C) cotangent of A for sample t
+    dh_ref,  # (N, L) out, accumulated over the T-grid
+    dwv_ref,  # (L, D) out
+    dbv_ref,  # (1, D) out
+    dwu_ref,  # (L, D) out
+    dbu_ref,  # (1, D) out
+    dwa_ref,  # (D, C) out
+    dba_ref,  # (1, C) out
+    *,
+    p_feat: float,
+    p_att: float,
+):
+    """Backward of one MC sample; grid axis = T, outputs accumulate.
+
+    Re-seeds the hardware PRNG with the sample's forward seed and replays the
+    dropout draws **in forward order** (feature mask first, then attention
+    mask), so the masks are bit-identical to the forward pass without ever
+    materializing them in HBM.  The cheap forward (gate, logits, masked
+    softmax) is recomputed from the VMEM-resident H — residuals are just the
+    forward's own inputs.
+    """
+    t = pl.program_id(0)
+    if p_feat > 0.0 or p_att > 0.0:
+        pltpu.prng_seed(seed_ref[t])
+    H = h_ref[:].astype(jnp.float32)
+    inv_keep_f = 1.0 / (1.0 - p_feat) if p_feat > 0.0 else 1.0
+    if p_feat > 0.0:
+        kf = (_uniform(H.shape) >= p_feat).astype(jnp.float32)
+        Hd = H * kf * inv_keep_f
+    else:
+        kf = None
+        Hd = H
+    V = jnp.tanh(
+        jnp.dot(Hd, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[:]
+    )
+    U = jax.nn.sigmoid(
+        jnp.dot(Hd, wu_ref[:], preferred_element_type=jnp.float32) + bu_ref[:]
+    )
+    G = V * U
+    logits = jnp.dot(G, wa_ref[:], preferred_element_type=jnp.float32) + ba_ref[:]
+    inv_keep_a = 1.0 / (1.0 - p_att) if p_att > 0.0 else 1.0
+    if p_att > 0.0:
+        ka = (_uniform(logits.shape) >= p_att).astype(jnp.float32)
+        logits = logits * ka * inv_keep_a
+    else:
+        ka = None
+    m = mask_ref[:]  # (N, 1)
+    filled = jnp.where(m > 0.0, logits, _MASK_FILL)
+    mx = jnp.max(filled, axis=0, keepdims=True)
+    mx = jnp.where(mx <= _MASK_FILL, 0.0, mx)
+    e = jnp.where(m > 0.0, jnp.exp(filled - mx), 0.0)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    A = e / jnp.where(denom > 0.0, denom, 1.0)  # (N, C)
+
+    dM = dm_ref[0]  # (C, L)
+    # A feeds the output and the pooling M = A^T Hd.
+    dA = da_ref[0] + jax.lax.dot_general(
+        Hd, dM, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, C)
+    dHd = jnp.dot(A, dM, preferred_element_type=jnp.float32)  # (N, L)
+    # masked-softmax backward (padded rows have A == 0 -> zero gradient)
+    s = jnp.sum(dA * A, axis=0, keepdims=True)  # (1, C)
+    dlogits = A * (dA - s)  # (N, C)
+    if ka is not None:
+        dlogits = dlogits * ka * inv_keep_a
+    dG = jax.lax.dot_general(
+        dlogits, wa_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, D)
+    dwa = jax.lax.dot_general(
+        G, dlogits, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, C)
+    dba = jnp.sum(dlogits, axis=0, keepdims=True)  # (1, C)
+    dV = dG * U
+    dU = dG * V
+    dzv = dV * (1.0 - V * V)
+    dzu = dU * U * (1.0 - U)
+    dHd = dHd + jax.lax.dot_general(
+        dzv, wv_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        dzu, wu_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dwv = jax.lax.dot_general(
+        Hd, dzv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (L, D)
+    dwu = jax.lax.dot_general(
+        Hd, dzu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbv = jnp.sum(dzv, axis=0, keepdims=True)
+    dbu = jnp.sum(dzu, axis=0, keepdims=True)
+    dH = dHd * kf * inv_keep_f if kf is not None else dHd
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[:] = dH
+        dwv_ref[:] = dwv
+        dbv_ref[:] = dbv
+        dwu_ref[:] = dwu
+        dbu_ref[:] = dbu
+        dwa_ref[:] = dwa
+        dba_ref[:] = dba
+
+    @pl.when(t > 0)
+    def _():
+        dh_ref[:] += dH
+        dwv_ref[:] += dwv
+        dbv_ref[:] += dbv
+        dwu_ref[:] += dwu
+        dbu_ref[:] += dbu
+        dwa_ref[:] += dwa
+        dba_ref[:] += dba
+
+
+def _fused_bwd_call(
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba, dM, dA,
+    *, num_samples, p_feat, p_att, interpret,
+):
+    n, l = H.shape
+    d = wv.shape[-1]
+    c = wa.shape[-1]
+    kernel = functools.partial(_mc_bwd_kernel, p_feat=p_feat, p_att=p_att)
+    const = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(num_samples,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, l), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, l), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, l), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((l, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, c), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, l), jnp.float32),
+            jax.ShapeDtypeStruct((l, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((l, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=num_samples * (2 * n * l * d * 6 + 2 * n * d * c * 3),
+            bytes_accessed=n * l * 4 * 2 + num_samples * (c * l * 4 + n * c * 4),
+            transcendentals=num_samples * 2 * n * d,
+        ),
+        interpret=interpret,
+    )(seeds, H, mask_f, wv, wu, wa, bv, bu, ba, dM, dA)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_core(
+    num_samples, p_feat, p_att, interpret, seeds, H, mask_f, wv, bv, wu, bu, wa, ba
+):
+    """Differentiable core: ``(pooled (T,C,L), A (T,N,C))`` with a Pallas
+    backward that replays the hardware-PRNG dropout masks by re-seeding."""
+    return _fused_fwd_call(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+
+
+def _fused_core_fwd(
+    num_samples, p_feat, p_att, interpret, seeds, H, mask_f, wv, bv, wu, bu, wa, ba
+):
+    out = _fused_fwd_call(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+    # Residuals are the forward inputs only; the backward kernel recomputes
+    # the cheap intermediates from VMEM-resident H.
+    return out, (seeds, H, mask_f, wv, bv, wu, bu, wa, ba)
+
+
+def _fused_core_bwd(num_samples, p_feat, p_att, interpret, res, cotangents):
+    import numpy as np
+
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba = res
+    dM, dA = cotangents
+    dH, dwv, dbv, dwu, dbu, dwa, dba = _fused_bwd_call(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        dM.astype(jnp.float32), dA.astype(jnp.float32),
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)  # int input
+    return (
+        dseeds,
+        dH.astype(H.dtype),
+        jnp.zeros_like(mask_f),
+        dwv, dbv, dwu, dbu, dwa, dba,
+    )
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_samples", "feature_dropout", "attention_dropout", "interpret"),
+)
+def mc_gated_attention_fused(
+    H: Array,
+    mask: Array,
+    params: GatedAttentionParams,
+    num_samples: int,
+    seed: Array,
+    feature_dropout: float = 0.1,
+    attention_dropout: float = 0.1,
+    interpret: bool = False,
+) -> tuple[Array, Array]:
+    """All T MC samples of the gated-attention head in one Pallas kernel.
+
+    Differentiable: a custom VJP runs a twin Pallas backward kernel that
+    re-seeds the hardware PRNG to regenerate the forward's exact dropout
+    masks, so mc_validate/training can take the fused path too (gradient
+    parity vs the jnp twin tested at dropout 0).
+
+    Args:
+      H: ``(N, L)`` patch features (any float dtype; compute is f32).
+      mask: ``(N,)`` bool validity.
+      seed: scalar int32 base seed; sample t uses ``seed + t``.
+    Returns ``(Y (T, C) f32, A (T, C, N) f32)`` matching
+    ``mc_head_reference`` semantics (different PRNG stream).
+    """
+    n, l = H.shape
+    if n % 8:
+        raise ValueError(f"bucket size N={n} must be a multiple of 8 (TPU sublanes)")
+    seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(num_samples, dtype=jnp.int32)
+    mask_f = mask.astype(jnp.float32)[:, None]
+    pooled, a = _fused_core(
+        num_samples,
+        float(feature_dropout),
+        float(attention_dropout),
+        interpret,
         seeds,
         H,
         mask_f,

@@ -60,6 +60,15 @@ from montecarlo_gated_mil_tpu.train.state import (
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
+def _use_pallas(cfg: Config, model) -> bool:
+    """Fused-kernel eligibility: enabled, on TPU, shared-attention model."""
+    return (
+        cfg.tpu.use_pallas_attention
+        and jax.default_backend() == "tpu"
+        and getattr(model, "shared_attention", False)
+    )
+
+
 def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
     """MC test dispatch: sharded over the device mesh when available
     (BASELINE config 5), else the sequential loop."""
@@ -70,14 +79,9 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
             model, params, loader, num_samples=cfg.N, key=key,
             metrics=metrics, fold=fold,
         )
-    use_pallas = (
-        cfg.tpu.use_pallas_attention
-        and jax.default_backend() == "tpu"
-        and getattr(model, "shared_attention", False)
-    )
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
-        metrics=metrics, fold=fold, use_pallas=use_pallas,
+        metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
     )
 
 
@@ -174,7 +178,7 @@ def _fit(
             val_loss = mc_validate(
                 model, state.params, data.val, criterion,
                 epoch=epoch, num_samples=cfg.N, key=val_key,
-                metrics=metrics, fold=fold,
+                metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
             )
         else:
             val_loss = validate(

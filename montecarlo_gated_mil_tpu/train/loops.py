@@ -46,17 +46,52 @@ def _det_step(model, criterion):
 
 
 @functools.lru_cache(maxsize=32)
-def _mc_val_step(model, criterion, num_samples: int):
+def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
+    def _finish(preds, attn, label):
+        from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
+
+        aux_losses = model.aux_scale * auxiliary_loss(
+            attn[:, 1, :], attn[:, 0, :], label == 1,
+            loss_type=model.aux_loss_type, margin=model.aux_margin,
+        )
+        ce = jax.vmap(lambda yy: criterion(yy[None, :], label[None]))(preds)
+        loss = jnp.mean(ce + aux_losses)
+        aux = jnp.mean(aux_losses)
+        pred = jnp.argmax(jnp.mean(preds, axis=0))
+        return loss, aux, pred
+
+    if use_pallas:
+        from montecarlo_gated_mil_tpu.ops.gated_attention import (
+            GatedAttentionParams,
+            mc_gated_attention_fused,
+        )
+
+        @jax.jit
+        def f(params, patches, mask, label, key):
+            H = model.apply({"params": params}, patches, mask, method="embed")
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            y, a = mc_gated_attention_fused(
+                H,
+                mask,
+                GatedAttentionParams.from_model_params(params),
+                num_samples,
+                seed,
+                model.feature_dropout,
+                model.attention_dropout,
+                # off-TPU the kernel runs interpreted (deterministic path
+                # only: the hardware PRNG has no CPU lowering)
+                interpret=jax.default_backend() != "tpu",
+            )
+            return _finish(y, a, label)
+
+        return f
+
     @jax.jit
     def f(params, patches, mask, label, key):
         out = mc_inference(
-            model, {"params": params}, patches, mask, num_samples, key, targets=label
+            model, {"params": params}, patches, mask, num_samples, key
         )
-        ce = jax.vmap(lambda yy: criterion(yy[None, :], label[None]))(out.predictions)
-        loss = jnp.mean(ce + out.aux_losses)
-        aux = jnp.mean(out.aux_losses)
-        pred = jnp.argmax(jnp.mean(out.predictions, axis=0))
-        return loss, aux, pred
+        return _finish(out.predictions, out.attention, label)
 
     return f
 
@@ -81,6 +116,7 @@ def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
                 seed,
                 model.feature_dropout,
                 model.attention_dropout,
+                interpret=jax.default_backend() != "tpu",
             )
             probs = jax.nn.softmax(y, axis=-1)
             return jnp.argmax(jnp.mean(probs, axis=0))
@@ -248,8 +284,13 @@ def mc_validate(
     key: jax.Array,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    use_pallas: bool = False,
 ) -> float:
-    step = _mc_val_step(model, criterion, num_samples)
+    """MC validation (spec above).  ``use_pallas=True`` (TPU + shared
+    attention) runs the fused MC kernel — its custom VJP also makes this path
+    gradient-capable; dropout masks come from the hardware PRNG, so losses
+    are statistically equivalent but not bit-identical to the default."""
+    step = _mc_val_step(model, criterion, num_samples, use_pallas)
     running_loss = running_aux = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):

@@ -84,6 +84,119 @@ def test_kernel_rejects_unaligned_bucket():
         )
 
 
+def test_kernel_gradient_parity_no_dropout():
+    """Custom VJP == autodiff of the jnp twin at dropout 0, for gradients
+    w.r.t. features AND every head parameter (the path mc_validate/training
+    takes with use_pallas)."""
+    key = jax.random.key(0)
+    N, L, T = 64, 128, 3
+    params = _params(key, L=L)
+    H = jax.random.normal(jax.random.key(1), (N, L))
+    mask = jnp.arange(N) < 50
+    dy = jax.random.normal(jax.random.key(2), (T, 2))
+    da = jax.random.normal(jax.random.key(3), (T, 2, N))
+
+    def loss_kernel(H, params):
+        y, a = mc_gated_attention_fused(
+            H, mask, params, T, jnp.asarray(1, jnp.int32), 0.0, 0.0,
+            interpret=not ON_TPU,
+        )
+        return jnp.sum(y * dy) + jnp.sum(a * da)
+
+    def loss_ref(H, params):
+        y, a = mc_head_reference(H, mask, params, T, key, 0.0, 0.0)
+        return jnp.sum(y * dy) + jnp.sum(a * da)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(H, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(H, params)
+
+    def tol(ref):
+        # On TPU both paths run MXU matmuls with bf16 inputs; measured
+        # default-vs-highest precision noise of the *reference alone* is the
+        # same order as the kernel/reference gap, so scale tolerance by the
+        # gradient magnitude there.  CPU is exact f32.
+        if not ON_TPU:
+            return 2e-5
+        return max(1e-5, 1e-2 * float(np.abs(ref).max()))
+
+    r = np.asarray(gr[0])
+    np.testing.assert_allclose(np.asarray(gk[0]), r, atol=tol(r))
+    for field in ("w_V", "b_V", "w_U", "b_U", "w_att", "b_att", "w_cls"):
+        r = np.asarray(getattr(gr[1], field))
+        np.testing.assert_allclose(
+            np.asarray(getattr(gk[1], field)), r, atol=tol(r), err_msg=field
+        )
+
+
+@pytest.mark.slow
+def test_mc_validate_use_pallas_matches_jnp_at_zero_dropout():
+    """mc_validate can take the fused-kernel path; at dropout 0 its losses
+    equal the jnp path exactly (same math, no PRNG involved)."""
+    from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
+    from montecarlo_gated_mil_tpu.train import cross_entropy
+    from montecarlo_gated_mil_tpu.train.loops import mc_validate
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    model = MultiHeadGatedAttentionMIL(
+        feature_dropout=0.0, attention_dropout=0.0, shared_attention=True
+    )
+    rng = np.random.default_rng(0)
+    items = [
+        (
+            pad_to_bucket(
+                rng.normal(size=(5, 64, 64, 3)).astype(np.float32),
+                np.arange(5, dtype=np.int32),
+                int(i % 2),
+                8,
+            ),
+            None,
+        )
+        for i in range(3)
+    ]
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, items[0][0].patches, items[0][0].mask
+    )
+    kw = dict(epoch=0, num_samples=2, key=jax.random.key(5),
+              metrics=Metrics([MemorySink()]))
+    loss_jnp = mc_validate(
+        model, variables["params"], items, cross_entropy, **kw
+    )
+    loss_pallas = mc_validate(
+        model, variables["params"], items, cross_entropy, use_pallas=True, **kw
+    )
+    assert loss_pallas == pytest.approx(loss_jnp, abs=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a TPU")
+def test_kernel_gradient_with_dropout_tpu():
+    """With dropout active, the backward kernel replays the forward's
+    hardware-PRNG masks by re-seeding: the VJP must match a finite-difference
+    directional derivative (masks are fixed by the seed, so the fused op is
+    smooth in H) and be deterministic across calls."""
+    key = jax.random.key(0)
+    N, L, T = 64, 128, 4
+    params = _params(key, L=L)
+    H = jax.random.normal(jax.random.key(1), (N, L))
+    mask = jnp.arange(N) < 50
+    v = jax.random.normal(jax.random.key(4), H.shape)
+
+    def loss(H):
+        y, a = mc_gated_attention_fused(
+            H, mask, params, T, jnp.asarray(3, jnp.int32), 0.1, 0.1
+        )
+        return jnp.sum(y * y) + jnp.sum(a * a)
+
+    g = jax.grad(loss)(H)
+    # eps large enough that the FD difference clears the MXU's bf16-input
+    # matmul noise on the loss (~1e-3 relative); smaller eps drowns in it.
+    eps = 1e-1
+    fd = (loss(H + eps * v) - loss(H - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd), rtol=0.15)
+    g2 = jax.grad(loss)(H)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g2))
+
+
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a TPU")
 def test_kernel_dropout_statistics_tpu():
     key = jax.random.key(0)
