@@ -52,7 +52,11 @@ def run_bench(
         )
     model = MultiHeadGatedAttentionMIL(backbone=backbone, dtype=dtype)
     key = jax.random.key(0)
+    # Feed patches in the compute dtype: the embed casts to it on entry
+    # anyway (resnet.py), so values are bit-identical while the input HBM
+    # read halves (measured 7.46 -> 7.17 ms/bag, docs/PERFORMANCE.md §r2).
     patches = jax.random.normal(key, (bag_size, patch, patch, 3), jnp.float32)
+    patches = patches.astype(dtype)
     mask = jnp.ones((bag_size,), bool)
     # init with a small dummy (params are spatial-size agnostic)
     variables = jax.jit(model.init)(

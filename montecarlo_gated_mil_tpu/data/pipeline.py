@@ -55,6 +55,10 @@ class PipelineConfig:
     bag_size: int = -1
     bucket: int = 256
     augment: bool = False  # train-time random per-patch H/V flips
+    # Storage dtype of the emitted patches.  The backbone casts to its
+    # compute dtype on entry, so 'bfloat16' here is value-identical for
+    # bf16 models while halving bag HBM footprint and host->device bytes.
+    dtype: str = "float32"
 
     def grid(self) -> TileGrid:
         return compute_tile_grid(self.height, self.width, self.patch_size, self.overlap)
@@ -117,6 +121,7 @@ def image_to_bag(
     std = jnp.asarray(IMAGENET_STD, patches.dtype)
     patches = (patches - mean) / std
     patches = jnp.where(mask[:, None, None, None], patches, 0.0)
+    patches = patches.astype(jnp.dtype(cfg.dtype))
     return Bag(
         patches=patches,
         mask=mask,

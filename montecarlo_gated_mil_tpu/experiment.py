@@ -96,11 +96,13 @@ def _pipeline_cfgs(cfg: Config) -> tuple[PipelineConfig, PipelineConfig]:
         height=d.H, width=d.W, patch_size=d.patch_size, overlap=d.overlap_train,
         empty_threshold=d.empty_threshold, bag_size=d.bag_size_train,
         bucket=spec.bucket_for(train_grid.num_tiles), augment=True,
+        dtype=cfg.tpu.compute_dtype,
     )
     eval_cfg = PipelineConfig(
         height=d.H, width=d.W, patch_size=d.patch_size, overlap=d.overlap_val_test,
         empty_threshold=d.empty_threshold, bag_size=d.bag_size_val_test,
         bucket=spec.bucket_for(eval_grid.num_tiles), augment=False,
+        dtype=cfg.tpu.compute_dtype,
     )
     return train_cfg, eval_cfg
 

@@ -134,6 +134,7 @@ class MCDOPredictor:
             bag_size=d.bag_size_val_test,
             bucket=BucketSpec(cfg.tpu.buckets).bucket_for(grid.num_tiles),
             augment=False,
+            dtype=cfg.tpu.compute_dtype,
         )
         kw.setdefault("num_samples", cfg.N)
         kw.setdefault("use_pallas", cfg.tpu.use_pallas_attention or None)
