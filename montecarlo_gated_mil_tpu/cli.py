@@ -61,6 +61,16 @@ def main(argv: list[str] | None = None) -> int:
     from montecarlo_gated_mil_tpu.utils.metrics import Metrics, StdoutSink
 
     cfg = load_config(args.config)
+    if cfg.tpu.coordinator_address:
+        # Multi-process (multi-slice) mode: bring up the distributed runtime
+        # before first jax use; CV folds then fan out over processes.
+        from montecarlo_gated_mil_tpu.parallel.distributed import initialize
+
+        initialize(
+            cfg.tpu.coordinator_address,
+            cfg.tpu.num_processes,
+            cfg.tpu.process_id,
+        )
     metrics = Metrics([StdoutSink()])
     if cfg.neptune:
         try:

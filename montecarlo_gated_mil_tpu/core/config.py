@@ -147,6 +147,13 @@ class TpuConfig:
     # padded embedding compute); data-parallel eval groups bags per bucket
     # before stacking, so this composes with sharded evaluation.
     adaptive_buckets: bool = True
+    # Multi-process (multi-slice) execution: when coordinator_address is
+    # set, the CLI calls jax.distributed.initialize before first jax use and
+    # CV folds fan out round-robin over processes (parallel/distributed.py).
+    # num_processes/process_id of -1 defer to JAX auto-detection.
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
 
     def validate(self) -> None:
         if not self.buckets or any(b <= 0 for b in self.buckets):

@@ -12,3 +12,8 @@ from montecarlo_gated_mil_tpu.parallel.instance import (  # noqa: F401
     sharded_gated_attention,
     sharded_mc_gated_attention,
 )
+from montecarlo_gated_mil_tpu.parallel.distributed import (  # noqa: F401
+    allgather_fold_accuracies,
+    fold_assignment,
+    initialize,
+)

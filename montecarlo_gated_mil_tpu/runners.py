@@ -223,12 +223,25 @@ def run_training(
 
 
 def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
-    """k-fold CV with per-fold checkpoints and a JSON manifest."""
+    """k-fold CV with per-fold checkpoints and a JSON manifest.
+
+    Multi-process (multi-slice) execution fans the independent folds out
+    round-robin over processes and merges accuracies with one DCN allgather
+    (``parallel/distributed.py``); single-process runs all folds locally.
+    """
+    from montecarlo_gated_mil_tpu.parallel.distributed import (
+        allgather_fold_accuracies,
+        fold_assignment,
+    )
+
     metrics = metrics or Metrics()
     ckpt = Checkpointer(cfg.model_path)
     test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-test")
+    my_folds = fold_assignment(
+        cfg.data.cv_folds, jax.process_index(), jax.process_count()
+    )
     folds = []
-    for fold in range(cfg.data.cv_folds):
+    for fold in my_folds:
         print(f"Fold {fold + 1}/{cfg.data.cv_folds}")
         model = build_model(cfg)
         data = get_fold_dataloaders(cfg, fold)
@@ -246,13 +259,20 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
         else:
             acc, report = test(model, best, data.test, metrics=metrics, fold=fold + 1)
         folds.append({"fold": fold + 1, "checkpoint": path, "accuracy": acc})
-    agg = aggregate_fold_accuracies([f["accuracy"] for f in folds])
+    merged = allgather_fold_accuracies(
+        my_folds, [f["accuracy"] for f in folds], cfg.data.cv_folds
+    )
+    agg = aggregate_fold_accuracies([merged[f] for f in sorted(merged)])
     manifest = {
         "config": config_to_dict(cfg),
-        "folds": folds,
+        "folds": folds,  # local folds (checkpoints live on this process)
+        "all_fold_accuracies": {str(k + 1): v for k, v in sorted(merged.items())},
         "accuracy": agg,
     }
-    manifest_path = os.path.join(cfg.model_path, "cv_manifest.json")
+    suffix = (
+        "" if jax.process_count() == 1 else f"_p{jax.process_index()}"
+    )
+    manifest_path = os.path.join(cfg.model_path, f"cv_manifest{suffix}.json")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
     print(f"CV accuracy: {agg['mean']:.4f} ± {agg['std']:.4f}")

@@ -173,6 +173,36 @@ def test_mc_test_dp_matches_sequential():
     assert rep_dp == rep_seq
 
 
+def test_fold_assignment_partitions_all_folds():
+    from montecarlo_gated_mil_tpu.parallel.distributed import fold_assignment
+
+    for procs in (1, 2, 3, 5, 8):
+        seen = []
+        for p in range(procs):
+            mine = fold_assignment(5, p, procs)
+            assert mine == sorted(mine)
+            seen.extend(mine)
+        assert sorted(seen) == list(range(5))  # partition, no dup/loss
+    assert fold_assignment(5, 0, 1) == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        fold_assignment(5, 2, 2)
+    with pytest.raises(ValueError):
+        fold_assignment(5, 0, 0)
+
+
+def test_distributed_single_process_passthrough():
+    """In a single-process run, initialize is a no-op and the accuracy
+    gather is the identity merge (no collective issued)."""
+    from montecarlo_gated_mil_tpu.parallel.distributed import (
+        allgather_fold_accuracies,
+        initialize,
+    )
+
+    assert initialize() is False  # unconfigured -> stays single-process
+    merged = allgather_fold_accuracies([0, 2], [0.5, 0.75], 3)
+    assert merged == {0: 0.5, 2: 0.75}
+
+
 @pytest.mark.slow
 def test_mc_test_dp_mixed_buckets_matches_sequential():
     """Adaptive per-bag buckets compose with sharded eval: dp groups bags by
