@@ -43,11 +43,20 @@ def run_bench(
     num_samples: int = 30,
     repeats: int = 20,
     use_pallas: bool | None = None,
+    quantized: bool | None = None,
 ) -> dict:
     backbone = cfg.model if cfg else "r18"
     dtype = jnp.dtype(cfg.tpu.compute_dtype) if cfg else jnp.bfloat16
     if use_pallas is None:
         use_pallas = (cfg.tpu.use_pallas_attention if cfg else True) and (
+            jax.default_backend() == "tpu"
+        )
+    if quantized is None:
+        # Headline default: the int8 PTQ serving path (validated in
+        # tests/test_quantized.py: feature cosine ~0.995, prediction
+        # agreement, masking invariance; docs/PERFORMANCE.md reports the
+        # exact-bf16 number alongside).  The metric string labels the mode.
+        quantized = cfg.tpu.quantized_inference if cfg else (
             jax.default_backend() == "tpu"
         )
     model = MultiHeadGatedAttentionMIL(backbone=backbone, dtype=dtype)
@@ -67,19 +76,36 @@ def run_bench(
     kp = GatedAttentionParams.from_model_params(variables["params"])
     fd, ad = model.feature_dropout, model.attention_dropout
 
+    if quantized:
+        from montecarlo_gated_mil_tpu.ops.quantized import (
+            quantize_backbone_static,
+            quantized_embed_static,
+        )
+
+        qp = quantize_backbone_static(variables["params"]["features"], backbone)
+
+        def embed(p, m):
+            return quantized_embed_static(qp, p, m, backbone=backbone)
+
+    else:
+
+        def embed(p, m):
+            return model.apply(variables, p, m, method="embed")
+
     if use_pallas:
 
         def mcdo_bag(p, m, seed):
-            H = model.apply(variables, p, m, method="embed")
-            return mc_gated_attention_fused(H, m, kp, num_samples, seed, fd, ad)
+            return mc_gated_attention_fused(
+                embed(p, m), m, kp, num_samples, seed, fd, ad
+            )
 
     else:
         from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
 
         def mcdo_bag(p, m, seed):
-            H = model.apply(variables, p, m, method="embed")
             out = mc_head(
-                model, variables, H, m, num_samples, jax.random.key(seed)
+                model, variables, embed(p, m), m, num_samples,
+                jax.random.key(seed),
             )
             return out.predictions, out.attention
 
@@ -126,6 +152,7 @@ def run_bench(
         "metric": (
             f"MCDO inference throughput, T={num_samples}, bag={bag_size}x"
             f"{patch}px, {backbone}, single chip"
+            + (", int8 PTQ embed" if quantized else "")
         ),
         "value": round(bags_per_s, 3),
         "unit": "mammograms/sec/chip",

@@ -132,6 +132,11 @@ class TpuConfig:
     mesh_inst: int = 1
     donate_buffers: bool = True
     use_pallas_attention: bool = True
+    # Opt-in int8 MXU inference: post-training-quantized embedding with
+    # static k-sigma activation scales (ops/quantized.py) — ~1.3x embed on
+    # v5e, feature cosine ~0.995 vs the float path.  Serving + bench only;
+    # training and the default eval path stay exact.
+    quantized_inference: bool = False
     # Debug toggles (SURVEY.md §5: the JAX analogue of the reference's
     # deterministic-algorithms enforcement is explicit-key purity; these add
     # the NaN/inf tripwires).

@@ -65,6 +65,7 @@ class MCDOPredictor:
         *,
         num_samples: int = 30,
         use_pallas: bool | None = None,
+        quantized: bool = False,
     ):
         self.model = model
         self.params = params
@@ -73,6 +74,7 @@ class MCDOPredictor:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        self.quantized = quantized
         self._grid = pipeline.grid()
         self._starts = jnp.asarray(self._grid.tiles_array()[:, :2])
         self._kernel_params = (
@@ -80,6 +82,15 @@ class MCDOPredictor:
             if use_pallas and getattr(model, "shared_attention", True)
             else None
         )
+        self._qparams = None
+        if quantized:
+            from montecarlo_gated_mil_tpu.ops.quantized import (
+                quantize_backbone_static,
+            )
+
+            self._qparams = quantize_backbone_static(
+                params["features"], model.backbone
+            )
 
         @jax.jit
         def _infer(image, flip, seed):
@@ -87,9 +98,7 @@ class MCDOPredictor:
                 image, flip, jnp.asarray(0), jax.random.key(seed), self._starts,
                 self.pipeline,
             )
-            H = self.model.apply(
-                {"params": self.params}, bag.patches, bag.mask, method="embed"
-            )
+            H = self._embed(bag.patches, bag.mask)
             if self._kernel_params is not None:
                 y, a = mc_gated_attention_fused(
                     H,
@@ -113,6 +122,21 @@ class MCDOPredictor:
             return bag, y, a
 
         self._infer = _infer
+
+    def _embed(self, patches, mask):
+        """Patch features: the float backbone, or the int8 PTQ path
+        (ops/quantized.py) when ``quantized=True``."""
+        if self._qparams is not None:
+            from montecarlo_gated_mil_tpu.ops.quantized import (
+                quantized_embed_static,
+            )
+
+            return quantized_embed_static(
+                self._qparams, patches, mask, backbone=self.model.backbone
+            )
+        return self.model.apply(
+            {"params": self.params}, patches, mask, method="embed"
+        )
 
     @classmethod
     def from_config(
@@ -138,6 +162,7 @@ class MCDOPredictor:
         )
         kw.setdefault("num_samples", cfg.N)
         kw.setdefault("use_pallas", cfg.tpu.use_pallas_attention or None)
+        kw.setdefault("quantized", cfg.tpu.quantized_inference)
         return cls(build_model(cfg), params, pipeline, **kw)
 
     def warmup(self) -> None:

@@ -1,0 +1,140 @@
+"""int8 PTQ embedding path: accuracy vs the float backbone, masking, serve."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+from montecarlo_gated_mil_tpu.ops.quantized import (
+    quantize_backbone_static,
+    quantize_kernel,
+    quantized_embed_static,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = MultiHeadGatedAttentionMIL(backbone="r18", shared_attention=True)
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)),
+        jnp.ones(4, bool),
+    )
+    return model, variables
+
+
+def _bags(n_bags=6, n=12, hw=64, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_bags):
+        # ImageNet-normalized-looking inputs in the pixel bound range
+        p = rng.normal(0.0, 0.8, size=(n, hw, hw, 3)).astype(np.float32)
+        p = np.clip(p, -2.2, 2.7)
+        mask = np.arange(n) < (n - (i % 3))
+        out.append((jnp.asarray(p), jnp.asarray(mask)))
+    return out
+
+
+def test_quantize_kernel_roundtrip_error():
+    rng = np.random.default_rng(1)
+    w = rng.normal(size=(3, 3, 16, 32)).astype(np.float32)
+    q = quantize_kernel(w)
+    back = np.asarray(q["w"], np.float32) * np.asarray(q["s"])
+    # per-channel symmetric int8: max error <= scale/2 per channel
+    err = np.abs(back - w).max(axis=(0, 1, 2))
+    assert (err <= np.asarray(q["s"]) * 0.5 + 1e-7).all()
+
+
+def test_quantized_features_agree_with_float(model_and_params):
+    model, variables = model_and_params
+    feats = variables["params"]["features"]
+    qp = quantize_backbone_static(feats, "r18")
+    for patches, mask in _bags(4):
+        hf = np.asarray(
+            model.apply(variables, patches, mask, method="embed"), np.float32
+        )
+        hq = np.asarray(
+            quantized_embed_static(qp, patches, mask), np.float32
+        )
+        nv = int(mask.sum())
+        cos = np.sum(hf[:nv] * hq[:nv], -1) / (
+            np.linalg.norm(hf[:nv], axis=-1) * np.linalg.norm(hq[:nv], axis=-1)
+            + 1e-12
+        )
+        assert cos.min() > 0.97, cos.min()
+
+
+def test_quantized_predictions_agree(model_and_params):
+    """Deterministic MIL predictions from int8 features match the float
+    path on synthetic bags (the serving acceptance criterion)."""
+    model, variables = model_and_params
+    feats = variables["params"]["features"]
+    qp = quantize_backbone_static(feats, "r18")
+    agree = 0
+    bags = _bags(6, seed=3)
+    for patches, mask in bags:
+        yf, _ = model.apply(variables,
+            model.apply(variables, patches, mask, method="embed"), mask,
+            method="head")
+        hq = quantized_embed_static(qp, patches, mask)
+        yq, _ = model.apply(variables, hq.astype(jnp.float32), mask, method="head")
+        agree += int(jnp.argmax(yf) == jnp.argmax(yq))
+    assert agree >= len(bags) - 1  # allow one borderline flip
+
+
+def test_quantized_masking_invariance(model_and_params):
+    """Static scales + masked stats: padded slots cannot perturb valid
+    features — same valid patches, different padding => same output."""
+    model, variables = model_and_params
+    feats = variables["params"]["features"]
+    qp = quantize_backbone_static(feats, "r18")
+    rng = np.random.default_rng(7)
+    p = rng.normal(0.0, 0.8, size=(6, 64, 64, 3)).astype(np.float32)
+    pad_a = np.zeros((2, 64, 64, 3), np.float32)
+    pad_b = rng.normal(0.0, 5.0, size=(2, 64, 64, 3)).astype(np.float32)
+    mask = jnp.asarray([True] * 6 + [False] * 2)
+    ha = quantized_embed_static(qp, jnp.asarray(np.concatenate([p, pad_a])), mask)
+    hb = quantized_embed_static(qp, jnp.asarray(np.concatenate([p, pad_b])), mask)
+    np.testing.assert_allclose(
+        np.asarray(ha[:6], np.float32), np.asarray(hb[:6], np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_quantized_rejects_bottleneck():
+    with pytest.raises(ValueError, match="r18"):
+        quantize_backbone_static({}, "r50")
+
+
+@pytest.mark.slow
+def test_serve_quantized_end_to_end():
+    from montecarlo_gated_mil_tpu.data.pipeline import PipelineConfig
+    from montecarlo_gated_mil_tpu.data.synthetic import synthetic_image
+    from montecarlo_gated_mil_tpu.serve import MCDOPredictor
+
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)),
+        jnp.ones(4, bool),
+    )
+    pipeline = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+    img = synthetic_image(128, 128, positive=True, seed=1)
+    p_f = MCDOPredictor(
+        model, variables["params"], pipeline, num_samples=4, use_pallas=False
+    )
+    p_q = MCDOPredictor(
+        model, variables["params"], pipeline, num_samples=4, use_pallas=False,
+        quantized=True,
+    )
+    rf = p_f.predict(img, seed=5)
+    rq = p_q.predict(img, seed=5)
+    assert rq.num_instances == rf.num_instances
+    assert abs(float(rq.stats.mean) - float(rf.stats.mean)) < 0.05
+    assert rq.prediction == rf.prediction
