@@ -145,6 +145,9 @@ class TpuConfig:
     # Checkpoint the full training state every k epochs (0 = best-only, the
     # reference behavior of keeping the best model in RAM until the end).
     checkpoint_every: int = 1
+    # Orbax writes checkpoints in the background (the epoch loop never
+    # blocks on IO); restore/resume synchronize automatically.
+    async_checkpointing: bool = False
     # Shard MC test evaluation over all devices (bags data-parallel); falls
     # back to the sequential path on a single device.
     data_parallel_eval: bool = True

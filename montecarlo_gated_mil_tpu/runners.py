@@ -79,9 +79,11 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
             model, params, loader, num_samples=cfg.N, key=key,
             metrics=metrics, fold=fold,
         )
+    quantized = cfg.tpu.quantized_inference and cfg.model in ("r18", "r34")
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
         metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
+        quantized=quantized,
     )
 
 
@@ -194,6 +196,8 @@ def _fit(
         if stop:
             print(f"Early stopping at epoch {epoch}")
             break
+    if checkpointer is not None:
+        checkpointer.wait()  # drain any in-flight async save
     return state, stopper
 
 
@@ -204,7 +208,10 @@ def run_training(
     metrics = metrics or Metrics()
     model = build_model(cfg)
     data = get_dataloaders(cfg)
-    ckpt_state = Checkpointer(os.path.join(cfg.model_path, "train_state"))
+    ckpt_state = Checkpointer(
+        os.path.join(cfg.model_path, "train_state"),
+        async_save=cfg.tpu.async_checkpointing,
+    )
     state, stopper = _fit(
         cfg, model, data, metrics, checkpointer=ckpt_state, resume=resume
     )

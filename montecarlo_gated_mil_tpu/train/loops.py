@@ -34,6 +34,31 @@ from montecarlo_gated_mil_tpu.train.state import TrainState
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
+def _make_embed(model, quantized: bool):
+    """Feature extractor for the eval steps: the model's float backbone, or
+    the int8 PTQ path (ops/quantized.py) when ``quantized``.  Weight
+    quantization happens inside the jitted step — it is a few million cheap
+    elementwise ops, fused and negligible next to the embed itself."""
+    if quantized:
+        from montecarlo_gated_mil_tpu.ops.quantized import (
+            quantize_backbone_static,
+            quantized_embed_static,
+        )
+
+        def embed(params, patches, mask):
+            qp = quantize_backbone_static(params["features"], model.backbone)
+            return quantized_embed_static(
+                qp, patches, mask, backbone=model.backbone
+            ).astype(jnp.float32)
+
+        return embed
+
+    def embed(params, patches, mask):
+        return model.apply({"params": params}, patches, mask, method="embed")
+
+    return embed
+
+
 @functools.lru_cache(maxsize=32)
 def _det_step(model, criterion):
     @jax.jit
@@ -97,7 +122,10 @@ def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
 
 
 @functools.lru_cache(maxsize=32)
-def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
+def _mc_test_step(
+    model, num_samples: int, use_pallas: bool = False, quantized: bool = False
+):
+    embed = _make_embed(model, quantized)
     if use_pallas:
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
             GatedAttentionParams,
@@ -106,7 +134,7 @@ def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
 
         @jax.jit
         def f(params, patches, mask, key):
-            H = model.apply({"params": params}, patches, mask, method="embed")
+            H = embed(params, patches, mask)
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
             y, _ = mc_gated_attention_fused(
                 H,
@@ -123,9 +151,12 @@ def _mc_test_step(model, num_samples: int, use_pallas: bool = False):
 
         return f
 
+    from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
+
     @jax.jit
     def f(params, patches, mask, key):
-        out = mc_inference(model, {"params": params}, patches, mask, num_samples, key)
+        H = embed(params, patches, mask)
+        out = mc_head(model, {"params": params}, H, mask, num_samples, key)
         probs = jax.nn.softmax(out.predictions, axis=-1)
         return jnp.argmax(jnp.mean(probs, axis=0))
 
@@ -367,15 +398,17 @@ def mc_test(
     metrics: Metrics | None = None,
     fold: int | None = None,
     use_pallas: bool = False,
+    quantized: bool = False,
 ) -> tuple[float, str]:
     """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``).
 
     ``use_pallas=True`` (TPU + shared attention only) runs the fused MC
     kernel — 24x the vmap head; its dropout masks come from the hardware
     PRNG, so predictions are statistically equivalent but not bit-identical
-    to the default path.
+    to the default path.  ``quantized=True`` embeds through the int8 PTQ
+    path (ops/quantized.py).
     """
-    step = _mc_test_step(model, num_samples, use_pallas)
+    step = _mc_test_step(model, num_samples, use_pallas, quantized)
     preds, targets = [], []
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):

@@ -147,12 +147,18 @@ class EarlyStopping:
 
 
 class Checkpointer:
-    """Orbax-backed save/restore of the full training state."""
+    """Orbax-backed save/restore of the full training state.
 
-    def __init__(self, directory: str):
+    ``async_save=True`` lets Orbax write in the background so the epoch
+    loop never blocks on checkpoint IO (useful for long CV sweeps);
+    ``wait()``/``close()``/``latest_step()``/``restore()`` synchronize.
+    """
+
+    def __init__(self, directory: str, *, async_save: bool = False):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
+        self.async_save = async_save
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(self.directory)
@@ -174,9 +180,15 @@ class Checkpointer:
                 meta=self._ocp.args.JsonSave(meta),
             ),
         )
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait(self):
+        """Block until any in-flight async save completes."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_like: TrainState, step: int | None = None):

@@ -109,6 +109,36 @@ def test_quantized_rejects_bottleneck():
 
 
 @pytest.mark.slow
+def test_mc_test_quantized_runs_and_mostly_agrees(model_and_params):
+    """mc_test with the int8 path returns the same accuracy as the float
+    path on synthetic bags (same PRNG keys; only the embedding quantizes)."""
+    from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
+    from montecarlo_gated_mil_tpu.train.loops import mc_test
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    model, variables = model_and_params
+    rng = np.random.default_rng(2)
+    items = []
+    for i in range(5):
+        p = np.clip(
+            rng.normal(0.0, 0.8, size=(6, 64, 64, 3)), -2.2, 2.7
+        ).astype(np.float32)
+        items.append(
+            (pad_to_bucket(p, np.arange(6, dtype=np.int32), int(i % 2), 8), None)
+        )
+    key = jax.random.key(4)
+    acc_f, _ = mc_test(
+        model, variables["params"], items, num_samples=3, key=key,
+        metrics=Metrics([MemorySink()]),
+    )
+    acc_q, _ = mc_test(
+        model, variables["params"], items, num_samples=3, key=key,
+        metrics=Metrics([MemorySink()]), quantized=True,
+    )
+    assert abs(acc_q - acc_f) <= 0.2  # at most one of five flips
+
+
+@pytest.mark.slow
 def test_serve_quantized_end_to_end():
     from montecarlo_gated_mil_tpu.data.pipeline import PipelineConfig
     from montecarlo_gated_mil_tpu.data.synthetic import synthetic_image

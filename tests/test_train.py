@@ -194,6 +194,24 @@ def test_early_stopping_reference_semantics():
     assert es3.patience == 1 and es3.best_loss == 2.0
 
 
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async saves don't block the caller; restore synchronizes."""
+    from montecarlo_gated_mil_tpu.train import Checkpointer
+
+    opt = optax.adam(1e-3)
+    params = {"w": jnp.arange(6.0)}
+    state = TrainState.create(params, opt)
+    ckpt = Checkpointer(str(tmp_path / "actk"), async_save=True)
+    ckpt.save(1, state, epoch=1)
+    ckpt.save(2, state, epoch=2)
+    ckpt.wait()
+    assert ckpt.latest_step() == 2
+    restored, meta = ckpt.restore(state)
+    assert meta["epoch"] == 2
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(6.0))
+    ckpt.close()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from montecarlo_gated_mil_tpu.train import Checkpointer
 
