@@ -53,7 +53,12 @@ import jax.numpy as jnp
 Array = jax.Array
 
 BN_EPS = 1e-5
-_STAGES = {"r18": (2, 2, 2, 2), "r34": (3, 4, 6, 3)}
+# backbone -> (stage sizes, bottleneck?)
+_STAGES = {
+    "r18": ((2, 2, 2, 2), False),
+    "r34": ((3, 4, 6, 3), False),
+    "r50": ((3, 4, 6, 3), True),
+}
 
 
 def quantize_kernel(w: Array) -> dict:
@@ -102,21 +107,28 @@ def quantize_backbone_static(
     # than bf16 (int8's (32, 128) tiling pads 3 channels terribly — measured
     # stem 1.78 -> 2.48 ms when quantized).  Quantization starts at layer1,
     # fused into the stem's normalize epilogue.
+    stages, bottleneck = _STAGES[backbone]
     out: dict = {
         "conv1": jnp.asarray(params["conv1"]["kernel"], jnp.bfloat16),
         "bn1": jax.tree.map(jnp.asarray, params["bn1"]),
     }
     b = _relu_bound(params["bn1"], k)  # bound of the pooled stem activation
-    for stage, blocks in enumerate(_STAGES[backbone], start=1):
+    for stage, blocks in enumerate(stages, start=1):
         for blk_i in range(blocks):
             blk = params[f"layer{stage}_{blk_i}"]
             q: dict = {"in_scale": b / 127.0}
             q["conv1"] = _fold_quantize(blk["conv1"]["kernel"], q["in_scale"])
             q["bn1"] = jax.tree.map(jnp.asarray, blk["bn1"])
-            r1 = _relu_bound(blk["bn1"], k)
-            q["mid_scale"] = r1 / 127.0
+            q["mid_scale"] = _relu_bound(blk["bn1"], k) / 127.0
             q["conv2"] = _fold_quantize(blk["conv2"]["kernel"], q["mid_scale"])
             q["bn2"] = jax.tree.map(jnp.asarray, blk["bn2"])
+            if bottleneck:  # 1x1 -> 3x3 -> 1x1 (models/resnet.py::Bottleneck)
+                q["mid2_scale"] = _relu_bound(blk["bn2"], k) / 127.0
+                q["conv3"] = _fold_quantize(blk["conv3"]["kernel"], q["mid2_scale"])
+                q["bn3"] = jax.tree.map(jnp.asarray, blk["bn3"])
+                final_bn = blk["bn3"]
+            else:
+                final_bn = blk["bn2"]
             if "downsample_conv" in blk:
                 q["downsample_conv"] = _fold_quantize(
                     blk["downsample_conv"]["kernel"], q["in_scale"]
@@ -125,8 +137,8 @@ def quantize_backbone_static(
                 id_bound = _signed_bound(blk["downsample_bn"], k)
             else:
                 id_bound = b
-            # relu(norm(t2) + identity): upper bound is the sum of bounds
-            b = _signed_bound(blk["bn2"], k) + id_bound
+            # relu(norm(t_final) + identity): bound is the sum of bounds
+            b = _signed_bound(final_bn, k) + id_bound
             q["out_scale"] = b / 127.0
             out[f"layer{stage}_{blk_i}"] = q
     return out
@@ -215,22 +227,29 @@ def quantized_embed_static(
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
     x_scale = b1  # dequant scale of x_q
-    for stage, blocks in enumerate(_STAGES[backbone], start=1):
+
+    def norm_relu_quant(t, bn, scale):
+        se, be = _bn_affine(t, bn, mask)
+        a = jnp.maximum(t.astype(jnp.float32) * se + be, 0.0)
+        return jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+
+    stages, bottleneck = _STAGES[backbone]
+    for stage, blocks in enumerate(stages, start=1):
         for blk_i in range(blocks):
             q = qparams[f"layer{stage}_{blk_i}"]
             stride = 2 if stage > 1 and blk_i == 0 else 1
-            t1 = _qconv_static(x_q, q["conv1"], stride, 1)
-            se1, be1 = _bn_affine(t1, q["bn1"], mask)
-            m1 = jnp.clip(
-                jnp.round(
-                    jnp.maximum(t1.astype(jnp.float32) * se1 + be1, 0.0)
-                    / q["mid_scale"]
-                ),
-                -127,
-                127,
-            ).astype(jnp.int8)
-            t2 = _qconv_static(m1, q["conv2"], 1, 1)
-            se2, be2 = _bn_affine(t2, q["bn2"], mask)
+            if bottleneck:
+                t1 = _qconv_static(x_q, q["conv1"], 1, 0)  # 1x1
+                m1 = norm_relu_quant(t1, q["bn1"], q["mid_scale"])
+                t2 = _qconv_static(m1, q["conv2"], stride, 1)  # 3x3
+                m2 = norm_relu_quant(t2, q["bn2"], q["mid2_scale"])
+                tf = _qconv_static(m2, q["conv3"], 1, 0)  # 1x1
+                sef, bef = _bn_affine(tf, q["bn3"], mask)
+            else:
+                t1 = _qconv_static(x_q, q["conv1"], stride, 1)
+                m1 = norm_relu_quant(t1, q["bn1"], q["mid_scale"])
+                tf = _qconv_static(m1, q["conv2"], 1, 1)
+                sef, bef = _bn_affine(tf, q["bn2"], mask)
             if "downsample_conv" in q:
                 d = _qconv_static(x_q, q["downsample_conv"], stride, 0)
                 sed, bed = _bn_affine(d, q["downsample_bn"], mask)
@@ -238,9 +257,9 @@ def quantized_embed_static(
             else:
                 identity = x_q.astype(jnp.float32) * x_scale
             xr = jnp.maximum(
-                t2.astype(jnp.float32) * se2 + be2 + identity, 0.0
+                tf.astype(jnp.float32) * sef + bef + identity, 0.0
             )
-            last = stage == len(_STAGES[backbone]) and blk_i == blocks - 1
+            last = stage == len(stages) and blk_i == blocks - 1
             if last:
                 return jnp.mean(xr, axis=(1, 2))
             x_q = jnp.clip(jnp.round(xr / q["out_scale"]), -127, 127).astype(

@@ -79,7 +79,7 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
             model, params, loader, num_samples=cfg.N, key=key,
             metrics=metrics, fold=fold,
         )
-    quantized = cfg.tpu.quantized_inference and cfg.model in ("r18", "r34")
+    quantized = cfg.tpu.quantized_inference and cfg.model in ("r18", "r34", "r50")
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
         metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
