@@ -20,9 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_gated_mil_tpu.core.bag import stack_bags
-from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval
-from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh, shard_batch
+from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval, pad_group_to_batch
+from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
@@ -36,14 +35,16 @@ def mc_test_dp(
     mesh=None,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    quantized: bool = False,
 ) -> tuple[float, str]:
     """Sharded equivalent of ``loops.mc_test`` (same reduction: argmax of
-    MC-mean softmax, ``net_utils.py:207-210``)."""
+    MC-mean softmax, ``net_utils.py:207-210``).  ``quantized`` embeds
+    through the int8 PTQ path, matching the sequential loop's flag."""
     from montecarlo_gated_mil_tpu.train.loops import _finish_test
 
     mesh = mesh or make_mesh()
     batch = int(mesh.shape["data"])
-    eval_step = make_dp_mc_eval(model, mesh, num_samples)
+    eval_step = make_dp_mc_eval(model, mesh, num_samples, quantized)
 
     @jax.jit
     def reduce_preds(preds):  # (B, T, C) -> (B,)
@@ -55,14 +56,10 @@ def mc_test_dp(
     groups: dict[int, list] = {}  # bucket size -> [(bag, stream index)]
 
     def flush(group):
-        n_real = len(group)
-        bags = [b for b, _ in group]
-        while len(bags) < batch:  # pad the last partial group
-            bags.append(bags[0])
-        stacked = shard_batch(mesh, stack_bags(bags))
-        keys = jnp.stack(
-            [jax.random.fold_in(key, i) for _, i in group]
-            + [jax.random.fold_in(key, group[0][1])] * (batch - n_real)
+        stacked, keys, n_real = pad_group_to_batch(
+            mesh,
+            [b for b, _ in group],
+            [jax.random.fold_in(key, i) for _, i in group],
         )
         preds, _ = eval_step(params, stacked, keys)
         labels = reduce_preds(preds)

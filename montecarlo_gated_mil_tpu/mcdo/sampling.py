@@ -45,6 +45,32 @@ class MCOutputs:
     aux_losses: Array | None = None
 
 
+def make_embed_fn(model, quantized: bool = False):
+    """Feature-extractor dispatch shared by the eval/serving paths: the
+    model's float backbone, or the int8 PTQ path (``ops/quantized.py``)
+    when ``quantized``.  Weight quantization happens inside the jitted
+    consumer — a few million cheap fused elementwise ops, negligible next
+    to the embed itself."""
+    if quantized:
+        from montecarlo_gated_mil_tpu.ops.quantized import (
+            quantize_backbone_static,
+            quantized_embed_static,
+        )
+
+        def embed(params, patches, mask):
+            qp = quantize_backbone_static(params["features"], model.backbone)
+            return quantized_embed_static(
+                qp, patches, mask, backbone=model.backbone
+            ).astype(jnp.float32)
+
+        return embed
+
+    def embed(params, patches, mask):
+        return model.apply({"params": params}, patches, mask, method="embed")
+
+    return embed
+
+
 def mc_head(
     model,
     variables,

@@ -26,21 +26,27 @@ def initialize(
 ) -> bool:
     """Bring up the JAX distributed runtime (no-op when not configured).
 
-    Returns True if multi-process mode is active.  With an empty
-    ``coordinator_address`` JAX's own auto-detection (TPU pod metadata) is
-    attempted only when the environment clearly provides it; otherwise this
-    stays single-process instead of hanging on a rendezvous.
+    Returns True if multi-process mode is active.  IMPORTANT ordering: when
+    a coordinator is configured, ``jax.distributed.initialize`` must run
+    before *any* call that could initialize the XLA backends — including
+    ``jax.process_count()`` — so the configured branch calls it first and
+    treats an already-initialized runtime (e.g. brought up by a launcher)
+    as success.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized (e.g. by the launcher)
     if not coordinator_address:
-        return False
+        # Unconfigured: report whatever the environment already set up
+        # (a launcher may have called jax.distributed.initialize itself).
+        return jax.process_count() > 1
     kwargs: dict = {"coordinator_address": coordinator_address}
     if num_processes > 0:
         kwargs["num_processes"] = num_processes
     if process_id >= 0:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # double-init by a launcher is fine
+        if "already" not in str(e).lower():
+            raise
     return jax.process_count() > 1
 
 

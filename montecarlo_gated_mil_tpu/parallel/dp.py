@@ -88,13 +88,17 @@ def make_dp_train_step(
     return step
 
 
-def make_dp_mc_eval(model, mesh, num_samples: int):
+def make_dp_mc_eval(model, mesh, num_samples: int, quantized: bool = False):
     """Jitted SPMD MC inference over a stacked batch of bags.
 
     Features are computed once per bag and the T dropout passes vmap inside;
-    bags shard over ``data``.  Returns per-bag ``(T, C)`` logits and
-    ``(T, C, N)`` attention.
+    bags shard over ``data``.  ``quantized`` embeds through the int8 PTQ
+    path (ops/quantized.py), matching the sequential loops.  Returns per-bag
+    ``(T, C)`` logits and ``(T, C, N)`` attention.
     """
+    from montecarlo_gated_mil_tpu.mcdo.sampling import make_embed_fn
+
+    embed = make_embed_fn(model, quantized)
     rep = replicated(mesh)
     shard1 = data_sharded(mesh, 1)
 
@@ -106,10 +110,30 @@ def make_dp_mc_eval(model, mesh, num_samples: int):
     )
     def eval_step(params, bags: Bag, keys: Array):
         def per_bag(bag: Bag, key):
-            H = model.apply({"params": params}, bag.patches, bag.mask, method="embed")
+            H = embed(params, bag.patches, bag.mask)
             out = mc_head(model, {"params": params}, H, bag.mask, num_samples, key)
             return out.predictions, out.attention
 
         return jax.vmap(per_bag)(bags, keys)
 
     return eval_step
+
+
+def pad_group_to_batch(mesh, bags, keys):
+    """Pad a partial mesh group by repeating its first bag/key, stack,
+    shard.  Shared by the sharded eval (``evaluation/dp_eval.py``) and
+    batched serving (``serve.predict_many``) so the padding protocol has
+    one owner.  Returns ``(stacked_sharded_bags, stacked_keys, n_real)``.
+    """
+    import jax.numpy as jnp
+
+    from montecarlo_gated_mil_tpu.core.bag import stack_bags
+    from montecarlo_gated_mil_tpu.parallel.mesh import shard_batch
+
+    batch = int(mesh.shape["data"])
+    n_real = len(bags)
+    if not 0 < n_real <= batch:
+        raise ValueError(f"group size {n_real} not in (0, {batch}]")
+    bags = list(bags) + [bags[0]] * (batch - n_real)
+    keys = jnp.stack(list(keys) + [keys[0]] * (batch - n_real))
+    return shard_batch(mesh, stack_bags(bags)), keys, n_real

@@ -71,15 +71,25 @@ def _use_pallas(cfg: Config, model) -> bool:
 
 def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
     """MC test dispatch: sharded over the device mesh when available
-    (BASELINE config 5), else the sequential loop."""
-    if cfg.tpu.data_parallel_eval and jax.device_count() > 1:
+    (BASELINE config 5), else the sequential loop.
+
+    The sharded branch requires a single controller: under multi-process
+    fold fan-out each process evaluates *different* folds, so a global mesh
+    over all processes' devices would issue mismatched SPMD programs; folds
+    then evaluate sequentially on their own process instead.
+    """
+    quantized = cfg.tpu.quantized_inference and cfg.model in ("r18", "r34", "r50")
+    if (
+        cfg.tpu.data_parallel_eval
+        and jax.process_count() == 1
+        and jax.device_count() > 1
+    ):
         from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
 
         return mc_test_dp(
             model, params, loader, num_samples=cfg.N, key=key,
-            metrics=metrics, fold=fold,
+            metrics=metrics, fold=fold, quantized=quantized,
         )
-    quantized = cfg.tpu.quantized_inference and cfg.model in ("r18", "r34", "r50")
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
         metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),

@@ -123,6 +123,15 @@ class MCDOPredictor:
 
         self._infer = _infer
 
+        @jax.jit
+        def _bag_fn(image, flip, bag_seed):
+            return image_to_bag(
+                image, flip, jnp.asarray(0), jax.random.key(bag_seed),
+                self._starts, self.pipeline,
+            )
+
+        self._bag_fn = _bag_fn  # built once: predict_many stays warm
+
     def _embed(self, patches, mask):
         """Patch features: the float backbone, or the int8 PTQ path
         (ops/quantized.py) when ``quantized=True``."""
@@ -218,10 +227,13 @@ class MCDOPredictor:
         ``dp=True`` forced) requests are stacked into mesh-sized batches and
         evaluated data-parallel over the ``data`` axis — one SPMD dispatch
         per group instead of one per image.  Per-request PRNG keys match the
-        sequential path (``key(seed + i)``), so predictions are identical to
-        ``predict`` except that the sharded path always uses the vmap MC head
-        (the fused kernel's hardware-PRNG dropout is per-core; predictions
-        are statistically equivalent when ``use_pallas``)."""
+        sequential path (``key(seed + i)``) and the embedding honors
+        ``quantized``, so predictions match ``predict``.  Caveats: the
+        sharded path always uses the vmap MC head (the fused kernel's
+        hardware-PRNG dropout is per-core), and with ``quantized`` the
+        batched compilation's f32 reduction order can flip values sitting
+        on int8 rounding boundaries — both statistically equivalent rather
+        than bitwise-identical."""
         lateralities = lateralities or ["L"] * len(images)
         if dp is None:
             dp = jax.device_count() > 1 and len(images) > 1
@@ -230,38 +242,35 @@ class MCDOPredictor:
                 self.predict(img, lat, seed=seed + i)
                 for i, (img, lat) in enumerate(zip(images, lateralities))
             ]
-        from montecarlo_gated_mil_tpu.core.bag import stack_bags
-        from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval
-        from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh, shard_batch
+        from montecarlo_gated_mil_tpu.parallel.dp import (
+            make_dp_mc_eval,
+            pad_group_to_batch,
+        )
+        from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
 
         if not hasattr(self, "_dp_state"):
             mesh = make_mesh()
-            self._dp_state = (mesh, make_dp_mc_eval(self.model, mesh, self.num_samples))
+            self._dp_state = (
+                mesh,
+                make_dp_mc_eval(
+                    self.model, mesh, self.num_samples, self.quantized
+                ),
+            )
         mesh, eval_step = self._dp_state
         batch = int(mesh.shape["data"])
-
-        @jax.jit
-        def _bag_fn(image, flip, bag_seed):
-            return image_to_bag(
-                image, flip, jnp.asarray(0), jax.random.key(bag_seed),
-                self._starts, self.pipeline,
-            )
-
         bags = [
-            _bag_fn(jnp.asarray(img, jnp.float32), jnp.asarray(lat == "R"),
-                    jnp.asarray(seed + i, jnp.int32))
+            self._bag_fn(jnp.asarray(img, jnp.float32), jnp.asarray(lat == "R"),
+                         jnp.asarray(seed + i, jnp.int32))
             for i, (img, lat) in enumerate(zip(images, lateralities))
         ]
         results: list[PredictionResult | None] = [None] * len(images)
         for lo in range(0, len(bags), batch):
             group = bags[lo : lo + batch]
-            n_real = len(group)
-            group = group + [group[0]] * (batch - n_real)
-            keys = jnp.stack(
-                [jax.random.key(seed + lo + j) for j in range(n_real)]
-                + [jax.random.key(seed + lo)] * (batch - n_real)
+            stacked, keys, n_real = pad_group_to_batch(
+                mesh, group,
+                [jax.random.key(seed + lo + j) for j in range(len(group))],
             )
-            ys, atts = eval_step(self.params, shard_batch(mesh, stack_bags(group)), keys)
+            ys, atts = eval_step(self.params, stacked, keys)
             for j in range(n_real):
                 bag = bags[lo + j]
                 stats = predictive_stats(ys[j])

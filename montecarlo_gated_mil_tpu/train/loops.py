@@ -34,29 +34,14 @@ from montecarlo_gated_mil_tpu.train.state import TrainState
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
-def _make_embed(model, quantized: bool):
-    """Feature extractor for the eval steps: the model's float backbone, or
-    the int8 PTQ path (ops/quantized.py) when ``quantized``.  Weight
-    quantization happens inside the jitted step — it is a few million cheap
-    elementwise ops, fused and negligible next to the embed itself."""
-    if quantized:
-        from montecarlo_gated_mil_tpu.ops.quantized import (
-            quantize_backbone_static,
-            quantized_embed_static,
-        )
-
-        def embed(params, patches, mask):
-            qp = quantize_backbone_static(params["features"], model.backbone)
-            return quantized_embed_static(
-                qp, patches, mask, backbone=model.backbone
-            ).astype(jnp.float32)
-
-        return embed
-
-    def embed(params, patches, mask):
-        return model.apply({"params": params}, patches, mask, method="embed")
-
-    return embed
+def _allow_pallas(model, use_pallas: bool) -> bool:
+    """Off-TPU the fused kernel runs only interpreted and only its
+    deterministic path (the hardware PRNG has no CPU lowering), so fall
+    back to the jnp twin for any model with active dropout instead of
+    crashing with an opaque NotImplementedError."""
+    if not use_pallas or jax.default_backend() == "tpu":
+        return use_pallas
+    return model.feature_dropout == 0.0 and model.attention_dropout == 0.0
 
 
 @functools.lru_cache(maxsize=32)
@@ -125,7 +110,9 @@ def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
 def _mc_test_step(
     model, num_samples: int, use_pallas: bool = False, quantized: bool = False
 ):
-    embed = _make_embed(model, quantized)
+    from montecarlo_gated_mil_tpu.mcdo.sampling import make_embed_fn
+
+    embed = make_embed_fn(model, quantized)
     if use_pallas:
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
             GatedAttentionParams,
@@ -321,7 +308,7 @@ def mc_validate(
     attention) runs the fused MC kernel — its custom VJP also makes this path
     gradient-capable; dropout masks come from the hardware PRNG, so losses
     are statistically equivalent but not bit-identical to the default."""
-    step = _mc_val_step(model, criterion, num_samples, use_pallas)
+    step = _mc_val_step(model, criterion, num_samples, _allow_pallas(model, use_pallas))
     running_loss = running_aux = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
@@ -408,7 +395,7 @@ def mc_test(
     to the default path.  ``quantized=True`` embeds through the int8 PTQ
     path (ops/quantized.py).
     """
-    step = _mc_test_step(model, num_samples, use_pallas, quantized)
+    step = _mc_test_step(model, num_samples, _allow_pallas(model, use_pallas), quantized)
     preds, targets = [], []
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):

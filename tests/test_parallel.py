@@ -190,6 +190,34 @@ def test_fold_assignment_partitions_all_folds():
         fold_assignment(5, 0, 0)
 
 
+@pytest.mark.slow
+def test_distributed_initialize_runs_before_backend_init():
+    """Regression: initialize() must call jax.distributed.initialize BEFORE
+    anything that initializes the XLA backends (a jax.process_count()
+    pre-check used to make every configured init raise).  Verified in a
+    fresh subprocess with a 1-process coordinator."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from montecarlo_gated_mil_tpu.parallel.distributed import initialize\n"
+        f"ok = initialize('127.0.0.1:{port}', 1, 0)\n"
+        "assert ok is False  # 1 process -> not multi-process, but init ran\n"
+        "assert jax.process_count() == 1\n"
+        "print('INIT-OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert "INIT-OK" in out.stdout, out.stderr[-2000:]
+
+
 def test_distributed_single_process_passthrough():
     """In a single-process run, initialize is a no-op and the accuracy
     gather is the identity merge (no collective issued)."""

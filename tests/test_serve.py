@@ -10,7 +10,7 @@ from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
 from montecarlo_gated_mil_tpu.serve import MCDOPredictor
 
 
-def _predictor(num_samples=4):
+def _predictor(num_samples=4, quantized=False):
     model = MultiHeadGatedAttentionMIL()
     key = jax.random.key(0)
     import jax.numpy as jnp
@@ -26,7 +26,7 @@ def _predictor(num_samples=4):
     )
     return MCDOPredictor(
         model, variables["params"], pipeline, num_samples=num_samples,
-        use_pallas=False,
+        use_pallas=False, quantized=quantized,
     )
 
 
@@ -67,10 +67,19 @@ def test_predict_many_and_warmup():
 
 
 @pytest.mark.slow
-def test_predict_many_dp_matches_sequential():
+@pytest.mark.parametrize("quantized", [False, True])
+def test_predict_many_dp_matches_sequential(quantized):
     """Sharded predict_many == sequential predict per request (same per-
-    request keys), on the 8-device CPU mesh; partial group padding dropped."""
-    p = _predictor(num_samples=3)
+    request keys, same embed path incl. int8), on the 8-device CPU mesh;
+    partial group padding dropped.
+
+    Float path: bitwise-tight.  Quantized path: statistically equivalent
+    only — f32 reduction-order differences between the batched and
+    unbatched compilations flip values sitting exactly on int8 rounding
+    boundaries, and per-bag batch-stats BN cascades the flip; predictions
+    must still agree and stats stay close.
+    """
+    p = _predictor(num_samples=3, quantized=quantized)
     imgs = [
         synthetic_image(128, 128, positive=bool(i % 2), seed=10 + i)
         for i in range(5)
@@ -78,14 +87,15 @@ def test_predict_many_dp_matches_sequential():
     seq = p.predict_many(imgs, seed=3, dp=False)
     dp = p.predict_many(imgs, seed=3, dp=True)
     assert len(dp) == len(seq) == 5
+    tol = 0.05 if quantized else 1e-5
     for a, b in zip(seq, dp):
         assert a.prediction == b.prediction
         assert a.num_instances == b.num_instances
         np.testing.assert_allclose(
-            np.asarray(a.stats.mean), np.asarray(b.stats.mean), atol=1e-5
+            np.asarray(a.stats.mean), np.asarray(b.stats.mean), atol=tol
         )
         np.testing.assert_allclose(
-            np.asarray(a.attention.mean), np.asarray(b.attention.mean), atol=1e-5
+            np.asarray(a.attention.mean), np.asarray(b.attention.mean), atol=tol
         )
 
 
