@@ -23,16 +23,24 @@ data and no runtime reductions):
 - **Convolutions**: int8 x int8 -> int32 on the MXU, dequantized with the
   per-output-channel folded scale.  The **stem stays bf16**: it is
   HBM-bound and int8's (32, 128) tiling pads Cin=3 terribly (measured
-  slower).  The maxpool commutes with the positive per-channel scales and
-  runs directly on int8.
+  slower).  The stem maxpool runs on the *lazy* normalized f32 values and
+  quantizes the pooled result — quantization is monotone, so it commutes
+  with max, and the full-resolution 112^2 activation is never
+  materialized (measured 2.19 -> 1.58 ms for the stem epilogue).
+- **Raw conv outputs** are stored in float8_e4m3fn where the channel dim
+  is >= 128 (``conv_store``, gated per conv by ``_store_for``): every conv
+  output is written once and re-read twice (BN stats + normalize), so
+  1-byte storage halves the dominant remaining HBM traffic.
 - **Everything else is exact**: BatchNorm statistics, normalization,
   residual adds, ReLU and the global average pool run in f32 with the same
   masked batch-stats semantics as the float path (``models/resnet.py``;
   reference BN deactivation, ``/root/reference/main.py:16-20``), and the
   gated-attention head is untouched (it is ~2% of the time).
 
-Measured (docs/PERFORMANCE.md §Round 2): embed 7.57 -> 5.75 ms (1.30x),
-feature cosine vs the bf16 path 0.995, MC predictions agree.  A dynamic
+Measured (docs/PERFORMANCE.md §Round 2b/2c): embed 7.57 -> 5.75 ms (1.30x)
+for the int8 convs, -> 5.39 ms with the pool-first stem + f8 conv-output
+storage; feature cosine vs the bf16 path 0.985-0.995, MC predictions
+agree.  A dynamic
 per-patch-scale variant was also built and measured: more accurate (cosine
 0.9988) but 1.00x — the runtime max-abs + quantize sweeps exactly cancel
 the MXU gain; static scales are the design that wins.
@@ -49,6 +57,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.stats import norm
 
 Array = jax.Array
 
@@ -91,18 +100,86 @@ def _signed_bound(bn: dict, k: float) -> Array:
     return jnp.maximum(b + k * g, 1e-3)
 
 
+# --------------------------------------------------------------------------
+# Static moments for pre-BN conv outputs (the ``conv_store="i8"`` path).
+#
+# The BN guarantee gives every *post-norm* activation exact per-channel
+# moments (mean beta, std |gamma|) at build time.  Pushing those through
+# relu (closed-form Gaussian relu moments) and then through a conv under a
+# pixel-independence approximation yields per-output-channel moments of the
+# *raw* conv output t — enough for a static int8 storage scale
+# ``(|mean| + k*rho*std)/127``.  ``rho`` inflates the independent-pixel
+# variance to cover spatial correlation (neighboring feature-map pixels are
+# correlated, which the independence sum underestimates); the k-sigma tail
+# plus rho headroom makes clipping benign, and the BN statistics are
+# computed from the *stored* tensor, so downstream activation-scale
+# guarantees stay exact.
+
+
+def _relu_moments(mu: Array, sigma: Array) -> tuple[Array, Array]:
+    """E and Var of relu(X), X ~ N(mu, sigma^2), per channel."""
+    sigma = jnp.maximum(sigma, 1e-12)
+    a = mu / sigma
+    e1 = mu * norm.cdf(a) + sigma * norm.pdf(a)
+    e2 = (jnp.square(mu) + jnp.square(sigma)) * norm.cdf(a) + mu * sigma * norm.pdf(a)
+    return e1, jnp.maximum(e2 - jnp.square(e1), 0.0)
+
+
+def _bn_relu_moments(bn: dict) -> tuple[Array, Array]:
+    """Moments of relu(BN(x)) — exact at build time via the BN affine."""
+    return _relu_moments(
+        bn["bias"].astype(jnp.float32), jnp.abs(bn["scale"].astype(jnp.float32))
+    )
+
+
+def _conv_t_scale(
+    w: Array, mu_in: Array, var_in: Array, k: float, rho: float
+) -> Array:
+    """int8 storage scale for t = conv(a, w) given input-channel moments."""
+    w = jnp.asarray(w, jnp.float32)
+    mean_t = jnp.einsum("hwio,i->o", w, mu_in)
+    var_t = jnp.einsum("hwio,i->o", jnp.square(w), var_in)
+    bound = jnp.abs(mean_t) + k * rho * jnp.sqrt(var_t)
+    return jnp.maximum(bound, 1e-3) / 127.0
+
+
 def quantize_backbone_static(
-    params: dict, backbone: str = "r18", k: float = 6.0
+    params: dict,
+    backbone: str = "r18",
+    k: float = 6.0,
+    *,
+    conv_store: str = "f8",
+    rho: float = 2.0,
 ) -> dict:
     """Static-scale quantization plan: every activation's int8 scale is
     known at build time (from the BN affines), so runtime quantization is a
     pure elementwise epilogue — no dynamic reductions, no extra HBM sweeps.
+
+    ``conv_store`` picks the storage dtype of the *raw pre-BN conv outputs*
+    (the tensor written by every conv and re-read twice, for stats and for
+    the normalize epilogue — the dominant remaining HBM traffic):
+
+    - ``"f8"``: float8_e4m3fn (default) — halves that traffic with no bound
+      machinery (more relative noise on small values, no clipping risk).
+    - ``"i8"``: int8 with static per-channel scales from propagated
+      activation moments (see ``_conv_t_scale``) — same traffic as f8.
+    - ``"bf16"``: exact storage.
+
+    Measured (tools/profile_int8.py, v5e): full r18 embed 5.45 ms bf16 /
+    5.39 ms f8 / 5.40 ms i8; feature cosine vs float 0.991 bf16, 0.985
+    f8/i8, MC predictions agree for all three.
+
+    BN statistics are always computed from the tensor *as stored*, so the
+    k-sigma activation-scale guarantees remain exact for every
+    ``conv_store``.
 
     Returns a pytree holding folded int8 kernels, per-cout dequant scales,
     BN affines, and the per-tensor activation scales (``bound/127``).
     """
     if backbone not in _STAGES:
         raise ValueError(f"quantized path supports {sorted(_STAGES)}, got {backbone!r}")
+    if conv_store not in ("bf16", "f8", "i8"):
+        raise ValueError(f"conv_store must be bf16|f8|i8, got {conv_store!r}")
     # Stem stays bf16: it is HBM-bound, and an int8 conv at Cin=3 is slower
     # than bf16 (int8's (32, 128) tiling pads 3 channels terribly — measured
     # stem 1.78 -> 2.48 ms when quantized).  Quantization starts at layer1,
@@ -111,20 +188,35 @@ def quantize_backbone_static(
     out: dict = {
         "conv1": jnp.asarray(params["conv1"]["kernel"], jnp.bfloat16),
         "bn1": jax.tree.map(jnp.asarray, params["bn1"]),
+        "conv_store": conv_store,
     }
     b = _relu_bound(params["bn1"], k)  # bound of the pooled stem activation
+    # input-activation moments for conv_store="i8": stem output is
+    # relu(BN)-distributed; maxpool shifts the mean up (max of 9 values) —
+    # bump by one std, the k*rho headroom covers the rest.
+    mu_in, var_in = _bn_relu_moments(params["bn1"])
+    mu_in = mu_in + jnp.sqrt(var_in)
+
+    def tq(w, mu, var):
+        return _conv_t_scale(w, mu, var, k, rho) if conv_store == "i8" else None
+
     for stage, blocks in enumerate(stages, start=1):
         for blk_i in range(blocks):
             blk = params[f"layer{stage}_{blk_i}"]
             q: dict = {"in_scale": b / 127.0}
             q["conv1"] = _fold_quantize(blk["conv1"]["kernel"], q["in_scale"])
+            q["conv1"]["t"] = tq(blk["conv1"]["kernel"], mu_in, var_in)
             q["bn1"] = jax.tree.map(jnp.asarray, blk["bn1"])
             q["mid_scale"] = _relu_bound(blk["bn1"], k) / 127.0
+            mu_mid, var_mid = _bn_relu_moments(blk["bn1"])
             q["conv2"] = _fold_quantize(blk["conv2"]["kernel"], q["mid_scale"])
+            q["conv2"]["t"] = tq(blk["conv2"]["kernel"], mu_mid, var_mid)
             q["bn2"] = jax.tree.map(jnp.asarray, blk["bn2"])
             if bottleneck:  # 1x1 -> 3x3 -> 1x1 (models/resnet.py::Bottleneck)
                 q["mid2_scale"] = _relu_bound(blk["bn2"], k) / 127.0
+                mu_mid2, var_mid2 = _bn_relu_moments(blk["bn2"])
                 q["conv3"] = _fold_quantize(blk["conv3"]["kernel"], q["mid2_scale"])
+                q["conv3"]["t"] = tq(blk["conv3"]["kernel"], mu_mid2, var_mid2)
                 q["bn3"] = jax.tree.map(jnp.asarray, blk["bn3"])
                 final_bn = blk["bn3"]
             else:
@@ -133,13 +225,29 @@ def quantize_backbone_static(
                 q["downsample_conv"] = _fold_quantize(
                     blk["downsample_conv"]["kernel"], q["in_scale"]
                 )
+                q["downsample_conv"]["t"] = tq(
+                    blk["downsample_conv"]["kernel"], mu_in, var_in
+                )
                 q["downsample_bn"] = jax.tree.map(jnp.asarray, blk["downsample_bn"])
                 id_bound = _signed_bound(blk["downsample_bn"], k)
+                mu_id = blk["downsample_bn"]["bias"].astype(jnp.float32)
+                var_id = jnp.square(
+                    blk["downsample_bn"]["scale"].astype(jnp.float32)
+                )
             else:
                 id_bound = b
+                mu_id, var_id = mu_in, var_in
             # relu(norm(t_final) + identity): bound is the sum of bounds
             b = _signed_bound(final_bn, k) + id_bound
             q["out_scale"] = b / 127.0
+            # out = relu(N(beta_f, gamma_f^2) + identity): Gaussian-sum
+            # approximation for the next block's input moments.
+            mu_in, var_in = _relu_moments(
+                final_bn["bias"].astype(jnp.float32) + mu_id,
+                jnp.sqrt(
+                    jnp.square(final_bn["scale"].astype(jnp.float32)) + var_id
+                ),
+            )
             out[f"layer{stage}_{blk_i}"] = q
     return out
 
@@ -155,6 +263,47 @@ def _qconv_static(ai: Array, qw: dict, stride: int, pad: int) -> Array:
         preferred_element_type=jnp.int32,
     )
     return (y.astype(jnp.float32) * qw["s"]).astype(jnp.bfloat16)
+
+
+def _store_for(qw: dict, store: str) -> str:
+    """Narrow (1-byte) storage pays off only when the channel (lane) dim is
+    >= 128: measured on v5e, f8/i8 storage of C=64 tensors runs 0.70-0.74x
+    of bf16 (lane padding), while C>=128 runs 1.18-1.19x
+    (tools/profile_int8.py).  Gate per conv on its output channels."""
+    if store != "bf16" and qw["w"].shape[-1] >= 128:
+        return store
+    return "bf16"
+
+
+def _qconv_stored(ai: Array, qw: dict, stride: int, pad: int, store: str) -> Array:
+    """int8 conv whose raw output is *stored* in ``store`` dtype.  The
+    dequant (and for i8 the static t-scale requant) fuses into the conv
+    epilogue; callers read the result back through ``_load_t``."""
+    store = _store_for(qw, store)
+    y = jax.lax.conv_general_dilated(
+        ai,
+        qw["w"],
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    if store == "i8":
+        return jnp.clip(
+            jnp.round(y.astype(jnp.float32) * (qw["s"] / qw["t"])), -127, 127
+        ).astype(jnp.int8)
+    yf = y.astype(jnp.float32) * qw["s"]
+    if store == "f8":
+        return yf.astype(jnp.float8_e4m3fn)
+    return yf.astype(jnp.bfloat16)
+
+
+def _load_t(t: Array, qw: dict, store: str) -> Array:
+    """Dequantized f32 view of a stored conv output (lazy; fuses into
+    whatever consumes it — BN stats and the normalize epilogue)."""
+    if _store_for(qw, store) == "i8":
+        return t.astype(jnp.float32) * qw["t"]
+    return t.astype(jnp.float32)
 
 
 def _quantize_act(a: Array, scale: Array) -> Array:
@@ -207,30 +356,30 @@ def quantized_embed_static(
         preferred_element_type=jnp.bfloat16,
     )
     se, be = _bn_affine(t, qparams["bn1"], mask)
-    # normalize + relu + static re-quantize, one fused elementwise pass;
-    # maxpool commutes with the positive per-channel scale, so it runs on
-    # int8 directly.
+    # Pool FIRST on the (lazy) f32 normalized values, quantize the pooled
+    # result: the normalize+relu chain fuses into reduce_window's input, so
+    # the full-resolution 112^2 activation is never materialized (measured
+    # 2.19 -> 1.58 ms for the stem epilogue, bit-identical output —
+    # quantization is monotone, so it commutes with max;
+    # tools/profile_int8.py).
     b1 = qparams["layer1_0"]["in_scale"]
-    a0 = jnp.clip(
-        jnp.round(
-            jnp.maximum(t.astype(jnp.float32) * se + be, 0.0) / b1
-        ),
-        -127,
-        127,
-    ).astype(jnp.int8)
-    x_q = jax.lax.reduce_window(
+    a0 = jnp.maximum(t.astype(jnp.float32) * se + be, 0.0)
+    pooled = jax.lax.reduce_window(
         a0,
-        jnp.int8(-128),
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+    x_q = jnp.clip(jnp.round(pooled / b1), -127, 127).astype(jnp.int8)
     x_scale = b1  # dequant scale of x_q
 
-    def norm_relu_quant(t, bn, scale):
-        se, be = _bn_affine(t, bn, mask)
-        a = jnp.maximum(t.astype(jnp.float32) * se + be, 0.0)
+    store = qparams.get("conv_store", "bf16")
+
+    def norm_relu_quant(tl, bn, scale):
+        se, be = _bn_affine(tl, bn, mask)
+        a = jnp.maximum(tl * se + be, 0.0)
         return jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
 
     stages, bottleneck = _STAGES[backbone]
@@ -239,26 +388,38 @@ def quantized_embed_static(
             q = qparams[f"layer{stage}_{blk_i}"]
             stride = 2 if stage > 1 and blk_i == 0 else 1
             if bottleneck:
-                t1 = _qconv_static(x_q, q["conv1"], 1, 0)  # 1x1
-                m1 = norm_relu_quant(t1, q["bn1"], q["mid_scale"])
-                t2 = _qconv_static(m1, q["conv2"], stride, 1)  # 3x3
-                m2 = norm_relu_quant(t2, q["bn2"], q["mid2_scale"])
-                tf = _qconv_static(m2, q["conv3"], 1, 0)  # 1x1
+                t1 = _qconv_stored(x_q, q["conv1"], 1, 0, store)  # 1x1
+                m1 = norm_relu_quant(
+                    _load_t(t1, q["conv1"], store), q["bn1"], q["mid_scale"]
+                )
+                t2 = _qconv_stored(m1, q["conv2"], stride, 1, store)  # 3x3
+                m2 = norm_relu_quant(
+                    _load_t(t2, q["conv2"], store), q["bn2"], q["mid2_scale"]
+                )
+                tf = _load_t(
+                    _qconv_stored(m2, q["conv3"], 1, 0, store), q["conv3"], store
+                )  # 1x1
                 sef, bef = _bn_affine(tf, q["bn3"], mask)
             else:
-                t1 = _qconv_static(x_q, q["conv1"], stride, 1)
-                m1 = norm_relu_quant(t1, q["bn1"], q["mid_scale"])
-                tf = _qconv_static(m1, q["conv2"], 1, 1)
+                t1 = _qconv_stored(x_q, q["conv1"], stride, 1, store)
+                m1 = norm_relu_quant(
+                    _load_t(t1, q["conv1"], store), q["bn1"], q["mid_scale"]
+                )
+                tf = _load_t(
+                    _qconv_stored(m1, q["conv2"], 1, 1, store), q["conv2"], store
+                )
                 sef, bef = _bn_affine(tf, q["bn2"], mask)
             if "downsample_conv" in q:
-                d = _qconv_static(x_q, q["downsample_conv"], stride, 0)
+                d = _load_t(
+                    _qconv_stored(x_q, q["downsample_conv"], stride, 0, store),
+                    q["downsample_conv"],
+                    store,
+                )
                 sed, bed = _bn_affine(d, q["downsample_bn"], mask)
-                identity = d.astype(jnp.float32) * sed + bed
+                identity = d * sed + bed
             else:
                 identity = x_q.astype(jnp.float32) * x_scale
-            xr = jnp.maximum(
-                tf.astype(jnp.float32) * sef + bef + identity, 0.0
-            )
+            xr = jnp.maximum(tf * sef + bef + identity, 0.0)
             last = stage == len(stages) and blk_i == blocks - 1
             if last:
                 return jnp.mean(xr, axis=(1, 2))

@@ -47,10 +47,11 @@ def test_quantize_kernel_roundtrip_error():
     assert (err <= np.asarray(q["s"]) * 0.5 + 1e-7).all()
 
 
-def test_quantized_features_agree_with_float(model_and_params):
+@pytest.mark.parametrize("conv_store", ["bf16", "f8", "i8"])
+def test_quantized_features_agree_with_float(model_and_params, conv_store):
     model, variables = model_and_params
     feats = variables["params"]["features"]
-    qp = quantize_backbone_static(feats, "r18")
+    qp = quantize_backbone_static(feats, "r18", conv_store=conv_store)
     for patches, mask in _bags(4):
         hf = np.asarray(
             model.apply(variables, patches, mask, method="embed"), np.float32
@@ -84,12 +85,13 @@ def test_quantized_predictions_agree(model_and_params):
     assert agree >= len(bags) - 1  # allow one borderline flip
 
 
-def test_quantized_masking_invariance(model_and_params):
+@pytest.mark.parametrize("conv_store", ["bf16", "i8"])
+def test_quantized_masking_invariance(model_and_params, conv_store):
     """Static scales + masked stats: padded slots cannot perturb valid
     features — same valid patches, different padding => same output."""
     model, variables = model_and_params
     feats = variables["params"]["features"]
-    qp = quantize_backbone_static(feats, "r18")
+    qp = quantize_backbone_static(feats, "r18", conv_store=conv_store)
     rng = np.random.default_rng(7)
     p = rng.normal(0.0, 0.8, size=(6, 64, 64, 3)).astype(np.float32)
     pad_a = np.zeros((2, 64, 64, 3), np.float32)
@@ -106,6 +108,59 @@ def test_quantized_masking_invariance(model_and_params):
 def test_quantized_rejects_unknown_backbone():
     with pytest.raises(ValueError, match="r18"):
         quantize_backbone_static({}, "vgg")
+
+
+def test_quantized_rejects_unknown_conv_store(model_and_params):
+    _, variables = model_and_params
+    with pytest.raises(ValueError, match="conv_store"):
+        quantize_backbone_static(
+            variables["params"]["features"], "r18", conv_store="int4"
+        )
+
+
+def test_relu_moments_match_monte_carlo():
+    """Closed-form Gaussian relu moments (the i8 conv-output bound inputs)
+    agree with a Monte-Carlo estimate."""
+    from montecarlo_gated_mil_tpu.ops.quantized import _relu_moments
+
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray([-1.0, -0.2, 0.0, 0.5, 2.0])
+    sigma = jnp.asarray([0.5, 1.0, 2.0, 0.1, 1.5])
+    e1, var = _relu_moments(mu, sigma)
+    x = rng.normal(size=(200_000, 1)) * np.asarray(sigma) + np.asarray(mu)
+    r = np.maximum(x, 0.0)
+    np.testing.assert_allclose(np.asarray(e1), r.mean(0), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(var), r.var(0), atol=5e-2)
+
+
+def test_i8_conv_outputs_do_not_saturate(model_and_params):
+    """The static moment-based t-scales must bound the observed raw conv
+    outputs: no stored value may hit the clip rail on plausible inputs."""
+    from montecarlo_gated_mil_tpu.ops import quantized as Q
+
+    model, variables = model_and_params
+    qp = quantize_backbone_static(
+        variables["params"]["features"], "r18", conv_store="i8"
+    )
+    saturated = []
+    orig = Q._qconv_stored
+
+    def probe(ai, qw, stride, pad, store):
+        out = orig(ai, qw, stride, pad, store)
+        if Q._store_for(qw, store) == "i8":
+            saturated.append(
+                float(jnp.mean(jnp.abs(out.astype(jnp.int32)) >= 127))
+            )
+        return out
+
+    Q._qconv_stored = probe
+    try:
+        for patches, mask in _bags(2, seed=11):
+            quantized_embed_static(qp, patches, mask)
+    finally:
+        Q._qconv_stored = orig
+    assert saturated, "i8 storage was never exercised"
+    assert max(saturated) < 1e-3, max(saturated)
 
 
 @pytest.mark.slow
