@@ -7,10 +7,11 @@ H x W, tiles into patches, keeps filled tiles, then per-patch applies random
 H/V flips (train) and ImageNet normalization.
 
 TPU-native design: everything after the raw pixel read runs as ONE jitted
-XLA program on device — flip, translate, resize, tiling (vmapped dynamic
-slices), fill scoring, top-k selection, per-patch augmentation from an
-explicit PRNG key, and normalization.  Static shapes: one compiled program
-per (image size, grid, bucket) combination.  The reference's unseeded bag
+XLA program on device — flip, translate, resize, integral-image fill
+scoring of every candidate tile (no tile materialization), top-k selection,
+a single gather of the selected tiles (vmapped dynamic slices), per-patch
+augmentation from an explicit PRNG key, and normalization.  Static shapes:
+one compiled program per (image size, grid, bucket) combination.  The reference's unseeded bag
 shuffle (``image_patcher.py:131``) is dropped — attention pooling is
 permutation-invariant and data order randomness lives in the loader PRNG.
 """
@@ -34,7 +35,7 @@ from montecarlo_gated_mil_tpu.ops.patching import (
     compute_tile_grid,
     gather_tiles,
     select_tiles,
-    tile_fill_scores,
+    tile_fill_scores_sat,
 )
 
 # ImageNet statistics (reference transforms, /root/reference/utils.py:48).
@@ -106,11 +107,14 @@ def image_to_bag(
     reference (tiling happens before transforms, ``dataset.py:68-71``).
     """
     img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
-    img3 = img[..., None] * jnp.ones((3,), img.dtype)  # replicate to RGB
-    tiles = gather_tiles(img3, starts, cfg.patch_size)  # (K, p, p, 3)
-    scores = tile_fill_scores(tiles)
+    # Candidate tiles are scored via the integral image (exact, no tile
+    # materialization — ops/patching.py::tile_fill_scores_sat); only the
+    # selected bucket is ever gathered, single-channel.  RGB replication
+    # happens in the final normalize broadcast (channels differ only by the
+    # ImageNet affine).
+    scores = tile_fill_scores_sat(img, starts, cfg.patch_size)
     idx, mask = select_tiles(scores, cfg.bucket, cfg.empty_threshold, cfg.bag_size)
-    patches = gather_tiles(img3, starts[idx], cfg.patch_size)  # (bucket, p, p, 3)
+    patches = gather_tiles(img[..., None], starts[idx], cfg.patch_size)  # (bucket, p, p, 1)
     if cfg.augment:
         kh, kv = jax.random.split(key)
         flip_h = jax.random.bernoulli(kh, 0.5, (cfg.bucket,))
@@ -119,7 +123,7 @@ def image_to_bag(
         patches = jnp.where(flip_v[:, None, None, None], patches[:, ::-1, :], patches)
     mean = jnp.asarray(IMAGENET_MEAN, patches.dtype)
     std = jnp.asarray(IMAGENET_STD, patches.dtype)
-    patches = (patches - mean) / std
+    patches = (patches - mean) / std  # (bucket, p, p, 1) -> (bucket, p, p, 3)
     patches = jnp.where(mask[:, None, None, None], patches, 0.0)
     patches = patches.astype(jnp.dtype(cfg.dtype))
     return Bag(
@@ -138,10 +142,7 @@ def count_valid_tiles(
     """Number of tiles a bag would keep (fill > threshold, capped at
     bag_size) — used to pick the smallest sufficient bucket per bag."""
     img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
-    scores = tile_fill_scores(
-        gather_tiles(img[..., None] * jnp.ones((3,), img.dtype), starts,
-                     cfg.patch_size)
-    )
+    scores = tile_fill_scores_sat(img, starts, cfg.patch_size)
     n = jnp.sum((scores > cfg.empty_threshold * 100.0).astype(jnp.int32))
     if cfg.bag_size > 0:
         n = jnp.minimum(n, cfg.bag_size)

@@ -75,6 +75,26 @@ def test_fill_scores_percent_nonzero():
     np.testing.assert_allclose(scores, [100.0, 50.0, 0.0])
 
 
+def test_sat_scores_match_gathered_scores():
+    """Integral-image fill scores are exactly the gathered-tile scores,
+    including on images with zero (background) regions and snapped border
+    tiles."""
+    from montecarlo_gated_mil_tpu.ops.patching import tile_fill_scores_sat
+
+    rng = np.random.default_rng(3)
+    img = rng.random((150, 110)).astype(np.float32)
+    img[:40] = 0.0           # empty top band
+    img[:, 80:] = 0.0        # empty right band
+    img[60:70, 10:30] = 0.0  # hole
+    g = compute_tile_grid(150, 110, 32, 0.5)
+    starts = jnp.asarray(g.tiles_array()[:, :2])
+    gathered = tile_fill_scores(
+        gather_tiles(jnp.asarray(img)[..., None], starts, 32)
+    )
+    sat = tile_fill_scores_sat(jnp.asarray(img), starts, 32)
+    np.testing.assert_allclose(np.asarray(sat), np.asarray(gathered), atol=1e-5)
+
+
 def test_select_tiles_threshold_and_cap():
     scores = jnp.asarray([10.0, 90.0, 50.0, 95.0, 20.0, 80.0])
     # threshold 0.6 -> three tiles above 60%: ids 3, 1, 5 by fill desc

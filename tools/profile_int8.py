@@ -264,6 +264,29 @@ def run_full():
         report(f"quantized_embed_static conv_store={store}", t)
 
 
+def run_batch():
+    """Bag-batching on one chip, int8 path (the bf16 path measured negative
+    in round 1: 7.26 ms at B=1 vs 9.0 ms/bag at B=2-4)."""
+    print("\n== vmapped multi-bag int8 embed (per-bag time) ==")
+    key = jax.random.key(3)
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+
+    model = MultiHeadGatedAttentionMIL(backbone="r18", dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 64, 64, 3), jnp.float32), jnp.ones((8,), bool),
+    )
+    qp = quantize_backbone_static(variables["params"]["features"], "r18")
+    for bsz in (1, 2, 4):
+        patches = jax.random.normal(key, (bsz, N, 224, 224, 3), jnp.bfloat16)
+        mask = jnp.ones((bsz, N), bool)
+        fn = jax.vmap(
+            lambda p, m: quantized_embed_static(qp, p, m, backbone="r18")
+        )
+        t = slope_time(lambda p: fn(p, mask), patches)
+        report(f"B={bsz}", t / bsz, f"({t * 1e3:.3f} ms total)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print(f"backend: {jax.default_backend()}")
@@ -273,3 +296,5 @@ if __name__ == "__main__":
         run_blocks()
     if which in ("full", "all"):
         run_full()
+    if which == "batch":
+        run_batch()
