@@ -10,4 +10,5 @@ from montecarlo_gated_mil_tpu.ops.patching import (  # noqa: F401
     gather_tiles,
     select_tiles,
     tile_fill_scores,
+    tile_fill_scores_sat,
 )

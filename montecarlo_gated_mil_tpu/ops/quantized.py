@@ -27,10 +27,11 @@ data and no runtime reductions):
   quantizes the pooled result — quantization is monotone, so it commutes
   with max, and the full-resolution 112^2 activation is never
   materialized (measured 2.19 -> 1.58 ms for the stem epilogue).
-- **Raw conv outputs** are stored in float8_e4m3fn where the channel dim
-  is >= 128 (``conv_store``, gated per conv by ``_store_for``): every conv
-  output is written once and re-read twice (BN stats + normalize), so
-  1-byte storage halves the dominant remaining HBM traffic.
+- **Raw conv outputs** stay bf16 by default; optional f8/int8 storage
+  (``conv_store``, gated per conv on channel dim >= 128 by ``_store_for``)
+  halves their write+2-read traffic but measured equal-or-slower on a
+  quiet v5e — the conversion cost eats the bandwidth saving.  Kept as
+  tested options for other TPU generations.
 - **Everything else is exact**: BatchNorm statistics, normalization,
   residual adds, ReLU and the global average pool run in f32 with the same
   masked batch-stats semantics as the float path (``models/resnet.py``;
@@ -148,7 +149,7 @@ def quantize_backbone_static(
     backbone: str = "r18",
     k: float = 6.0,
     *,
-    conv_store: str = "f8",
+    conv_store: str = "bf16",
     rho: float = 2.0,
 ) -> dict:
     """Static-scale quantization plan: every activation's int8 scale is
@@ -159,15 +160,17 @@ def quantize_backbone_static(
     (the tensor written by every conv and re-read twice, for stats and for
     the normalize epilogue — the dominant remaining HBM traffic):
 
-    - ``"f8"``: float8_e4m3fn (default) — halves that traffic with no bound
-      machinery (more relative noise on small values, no clipping risk).
+    - ``"bf16"``: exact storage — the default, and the fastest measured on
+      a quiet v5e (full r18 embed 5.43 ms vs 5.89 f8 / 5.51 i8,
+      tools/profile_int8.py; the 1-byte stores only looked faster under
+      host contention — docs/PERFORMANCE.md §methodology item 3).
     - ``"i8"``: int8 with static per-channel scales from propagated
-      activation moments (see ``_conv_t_scale``) — same traffic as f8.
-    - ``"bf16"``: exact storage.
+      activation moments (see ``_conv_t_scale``).
+    - ``"f8"``: float8_e4m3fn — no bound machinery (values clamp at the
+      e4m3fn max; overflow would otherwise convert to NaN).
 
-    Measured (tools/profile_int8.py, v5e): full r18 embed 5.45 ms bf16 /
-    5.39 ms f8 / 5.40 ms i8; feature cosine vs float 0.991 bf16, 0.985
-    f8/i8, MC predictions agree for all three.
+    Accuracy (feature cosine vs float): 0.991 bf16, 0.985 f8/i8; MC
+    predictions agree for all three (tests/test_quantized.py).
 
     BN statistics are always computed from the tensor *as stored*, so the
     k-sigma activation-scale guarantees remain exact for every
@@ -294,7 +297,9 @@ def _qconv_stored(ai: Array, qw: dict, stride: int, pad: int, store: str) -> Arr
         ).astype(jnp.int8)
     yf = y.astype(jnp.float32) * qw["s"]
     if store == "f8":
-        return yf.astype(jnp.float8_e4m3fn)
+        # e4m3fn is finite-only: clamp explicitly so a rare out-of-range
+        # conv output saturates instead of converting to NaN.
+        return jnp.clip(yf, -448.0, 448.0).astype(jnp.float8_e4m3fn)
     return yf.astype(jnp.bfloat16)
 
 
