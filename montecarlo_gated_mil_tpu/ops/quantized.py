@@ -39,9 +39,8 @@ data and no runtime reductions):
   gated-attention head is untouched (it is ~2% of the time).
 
 Measured (docs/PERFORMANCE.md §Round 2b/2c): embed 7.57 -> 5.75 ms (1.30x)
-for the int8 convs, -> 5.39 ms with the pool-first stem + f8 conv-output
-storage; feature cosine vs the bf16 path 0.985-0.995, MC predictions
-agree.  A dynamic
+for the int8 convs, -> 5.43 ms with the pool-first stem; feature cosine vs
+the bf16 path 0.985-0.995, MC predictions agree.  A dynamic
 per-patch-scale variant was also built and measured: more accurate (cosine
 0.9988) but 1.00x — the runtime max-abs + quantize sweeps exactly cancel
 the MXU gain; static scales are the design that wins.
@@ -269,10 +268,11 @@ def _qconv_static(ai: Array, qw: dict, stride: int, pad: int) -> Array:
 
 
 def _store_for(qw: dict, store: str) -> str:
-    """Narrow (1-byte) storage pays off only when the channel (lane) dim is
-    >= 128: measured on v5e, f8/i8 storage of C=64 tensors runs 0.70-0.74x
-    of bf16 (lane padding), while C>=128 runs 1.18-1.19x
-    (tools/profile_int8.py).  Gate per conv on its output channels."""
+    """Narrow (1-byte) storage is gated off C<128 stages, where the (32,128)
+    1-byte tiling pads lanes (measured 0.83-0.91x of bf16 on quiet v5e,
+    tools/profile_int8.py).  Note the quiet-host verdict: even at C>=128,
+    f8/i8 storage measures equal-or-slower than bf16 on v5e — ``conv_store``
+    defaults to bf16 and the narrow stores exist for other generations."""
     if store != "bf16" and qw["w"].shape[-1] >= 128:
         return store
     return "bf16"

@@ -45,7 +45,10 @@ def initialize(
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:  # double-init by a launcher is fine
-        if "already" not in str(e).lower():
+        # jax 0.9 raises "distributed.initialize should only be called
+        # once."; older versions said "already initialized" — accept both.
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
     return jax.process_count() > 1
 

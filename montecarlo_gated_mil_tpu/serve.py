@@ -258,21 +258,26 @@ class MCDOPredictor:
             )
         mesh, eval_step = self._dp_state
         batch = int(mesh.shape["data"])
-        bags = [
-            self._bag_fn(jnp.asarray(img, jnp.float32), jnp.asarray(lat == "R"),
-                         jnp.asarray(seed + i, jnp.int32))
-            for i, (img, lat) in enumerate(zip(images, lateralities))
-        ]
         results: list[PredictionResult | None] = [None] * len(images)
-        for lo in range(0, len(bags), batch):
-            group = bags[lo : lo + batch]
+        for lo in range(0, len(images), batch):
+            # Build bags per mesh-sized group: at production shape a bag is
+            # ~300 MB, so materializing every request's bag up front would
+            # exhaust HBM on long request lists.
+            group = [
+                self._bag_fn(
+                    jnp.asarray(images[lo + j], jnp.float32),
+                    jnp.asarray(lateralities[lo + j] == "R"),
+                    jnp.asarray(seed + lo + j, jnp.int32),
+                )
+                for j in range(min(batch, len(images) - lo))
+            ]
             stacked, keys, n_real = pad_group_to_batch(
                 mesh, group,
                 [jax.random.key(seed + lo + j) for j in range(len(group))],
             )
             ys, atts = eval_step(self.params, stacked, keys)
             for j in range(n_real):
-                bag = bags[lo + j]
+                bag = group[j]
                 stats = predictive_stats(ys[j])
                 att = attention_stats(atts[j], bag.mask)
                 results[lo + j] = PredictionResult(

@@ -8,5 +8,6 @@ from montecarlo_gated_mil_tpu.utils.metrics import (  # noqa: F401
 from montecarlo_gated_mil_tpu.utils.profiling import (  # noqa: F401
     PhaseTimer,
     annotate,
+    slope_time,
     xla_trace,
 )

@@ -9,9 +9,57 @@ and a ``jax.profiler`` trace context for TensorBoard/Perfetto capture.
 from __future__ import annotations
 
 import contextlib
+import functools
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
+
+
+def slope_time(fn, *args, ks=(2, 6, 12), reps: int = 4) -> float:
+    """Pure device time per call of ``fn(*args)`` via the chained-iteration
+    slope (the project's canonical measurement method, docs/PERFORMANCE.md
+    §methodology): run the computation k times inside one jitted
+    ``lax.scan`` for several k, force completion with a scalar readback,
+    and take the median pairwise slope of the totals.  This cancels
+    dispatch and transfer latency exactly — required on runtimes where
+    ``block_until_ready`` does not wait for device compute and scalar
+    readbacks carry a tunnel round-trip.
+
+    The first positional argument is perturbed per iteration (floats get
+    ``+carry*1e-6``, integer arrays get a bit toggle) so the scanned calls
+    cannot be collapsed.  Measure on a quiet host (methodology item 3).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def chain(k, *a):
+        def body(c, i):
+            if jnp.issubdtype(a[0].dtype, jnp.floating):
+                first = a[0] + (c * 1e-6).astype(a[0].dtype)
+            else:
+                first = a[0] ^ (i % 2).astype(a[0].dtype)
+            out = fn(first, *a[1:])
+            leaf = out[0] if isinstance(out, tuple) else out
+            return jnp.sum(leaf.astype(jnp.float32)) * 1e-9, None
+
+        c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(k))
+        return c
+
+    totals = {}
+    for k in ks:
+        g = jax.jit(functools.partial(chain, k))
+        float(g(*args))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(g(*args))  # readback forces completion
+            best = min(best, time.perf_counter() - t0)
+        totals[k] = best
+    slopes = sorted(
+        (totals[b] - totals[a]) / (b - a)
+        for a, b in ((ks[0], ks[1]), (ks[1], ks[2]), (ks[0], ks[2]))
+    )
+    return slopes[1]
 
 
 @dataclass

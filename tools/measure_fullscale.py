@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import functools
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -32,35 +31,13 @@ from montecarlo_gated_mil_tpu.ops.gated_attention import (  # noqa: E402
     mc_gated_attention_fused,
 )
 
+from montecarlo_gated_mil_tpu.utils.profiling import slope_time as _slope  # noqa: E402
+
 H, W = 7036, 2800  # reference config.yml data.img_size
 T = 30
 
-
-def slope_time(fn, *args, ks=(1, 3, 6)):
-    def chain(k, *a):
-        def body(c, i):
-            out = fn(a[0] + c.astype(a[0].dtype) * 1e-6, *a[1:])
-            leaf = out[0] if isinstance(out, tuple) else out
-            return jnp.sum(leaf.astype(jnp.float32)) * 1e-9, None
-
-        c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(k))
-        return c
-
-    totals = {}
-    for k in ks:
-        g = jax.jit(functools.partial(chain, k))
-        float(g(*args))
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            float(g(*args))
-            best = min(best, time.perf_counter() - t0)
-        totals[k] = best
-    slopes = sorted(
-        (totals[b] - totals[a]) / (b - a)
-        for a, b in ((ks[0], ks[1]), (ks[1], ks[2]), (ks[0], ks[2]))
-    )
-    return slopes[1]
+# fewer, shorter chains: one full-scale mammogram pass is ~30-70 ms
+slope_time = functools.partial(_slope, ks=(1, 3, 6))
 
 
 def main():

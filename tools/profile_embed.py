@@ -14,43 +14,15 @@ from __future__ import annotations
 
 import functools
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from montecarlo_gated_mil_tpu.utils.profiling import slope_time  # noqa: E402
+
 N = 256  # bag size (patches)
-
-
-def slope_time(fn, *args, ks=(2, 6, 12)):
-    """Median pairwise slope of chained-scan totals = pure device time/op."""
-
-    def chain(k, *a):
-        def body(c, i):
-            out = fn(a[0] + c.astype(a[0].dtype) * 1e-6, *a[1:])
-            leaf = out[0] if isinstance(out, tuple) else out
-            return jnp.sum(leaf.astype(jnp.float32)) * 1e-9, None
-
-        c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), jnp.arange(k))
-        return c
-
-    totals = {}
-    for k in ks:
-        g = jax.jit(functools.partial(chain, k))
-        float(g(*args))  # compile + warm
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            float(g(*args))
-            best = min(best, time.perf_counter() - t0)
-        totals[k] = best
-    slopes = sorted(
-        (totals[b] - totals[a]) / (b - a)
-        for a, b in ((ks[0], ks[1]), (ks[1], ks[2]), (ks[0], ks[2]))
-    )
-    return slopes[1]
 
 
 def stage_flops(h: int, cin: int, cout: int, n_convs: int, stride_first=False):
