@@ -200,24 +200,30 @@ class MCDOPredictor:
         )
         stats = predictive_stats(y)
         att = attention_stats(a, bag.mask)
-        mean_maps = std_maps = None
+        maps = None
         if return_maps:
             maps = reconstruct_attention_maps(
                 a, bag.tile_indices, bag.mask, self._grid
             )
-            mean_maps = np.asarray(jnp.mean(maps, axis=0))
-            std_maps = np.asarray(
+            maps = (
+                jnp.mean(maps, axis=0),
                 jnp.std(maps, axis=0, ddof=1)
                 if self.num_samples > 1
-                else jnp.zeros_like(maps[0])
+                else jnp.zeros_like(maps[0]),
             )
+        # One batched host fetch: each device_get is a full round trip
+        # (~25 ms on tunneled runtimes), so everything the result needs
+        # comes back in a single transfer.
+        stats, att, n_inst, maps = jax.device_get(
+            (stats, att, bag.num_instances, maps)
+        )
         return PredictionResult(
             prediction=int(stats.prediction),
-            stats=jax.device_get(stats),
-            attention=jax.device_get(att),
-            num_instances=int(bag.num_instances),
-            attention_mean_maps=mean_maps,
-            attention_std_maps=std_maps,
+            stats=stats,
+            attention=att,
+            num_instances=int(n_inst),
+            attention_mean_maps=None if maps is None else np.asarray(maps[0]),
+            attention_std_maps=None if maps is None else np.asarray(maps[1]),
         )
 
     def predict_many(
