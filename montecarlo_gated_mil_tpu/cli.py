@@ -10,6 +10,12 @@ with subcommands:
     python -m montecarlo_gated_mil_tpu.cli cv-eval --config config.yml
     python -m montecarlo_gated_mil_tpu.cli infer --config config.yml --out DIR
     python -m montecarlo_gated_mil_tpu.cli bench --config config.yml
+    python -m montecarlo_gated_mil_tpu.cli serve --config config.yml \
+        [--checkpoint NAME] [--input requests.jsonl | --port 8000]
+
+``serve`` has no reference counterpart (the reference ships research
+scripts only); it fronts the warm ``MCDOPredictor`` with JSONL batch
+scoring or a minimal HTTP server (``server.py``).
 """
 
 from __future__ import annotations
@@ -30,6 +36,7 @@ def get_args_parser() -> argparse.ArgumentParser:
         ("cv-eval", "re-evaluate saved CV fold models (MC vs deterministic)"),
         ("infer", "MCDO inference with attention/uncertainty figures"),
         ("bench", "MCDO throughput benchmark"),
+        ("serve", "serving front-end: JSONL batch scoring or HTTP server"),
     ):
         p = sub.add_parser(name, help=help_)
         p.add_argument(
@@ -49,6 +56,24 @@ def get_args_parser() -> argparse.ArgumentParser:
             p.add_argument("--max-items", type=int, default=0)
         if name == "bench":
             p.add_argument("--samples", type=int, default=30)
+        if name == "serve":
+            p.add_argument(
+                "--checkpoint", type=str, default=None,
+                help="Orbax params checkpoint (name under model_path or "
+                "absolute path); fresh init if omitted",
+            )
+            p.add_argument(
+                "--input", type=str, default=None,
+                help="JSONL request file ('-' for stdin); omits HTTP mode",
+            )
+            p.add_argument(
+                "--output", type=str, default=None,
+                help="JSONL result file (default stdout)",
+            )
+            p.add_argument("--maps-dir", type=str, default=None)
+            p.add_argument("--port", type=int, default=8000)
+            p.add_argument("--host", type=str, default="127.0.0.1")
+            p.add_argument("--no-warmup", action="store_true")
     return parser
 
 
@@ -107,6 +132,34 @@ def main(argv: list[str] | None = None) -> int:
         from montecarlo_gated_mil_tpu.bench import run_bench
 
         print(json.dumps(run_bench(cfg, num_samples=args.samples)))
+    elif args.command == "serve":
+        from montecarlo_gated_mil_tpu.server import (
+            build_predictor,
+            run_server,
+            serve_jsonl,
+        )
+
+        if args.input is not None:
+            predictor = build_predictor(cfg, args.checkpoint)
+            if not args.no_warmup:
+                predictor.warmup()
+            fin = sys.stdin if args.input == "-" else open(args.input)
+            fout = sys.stdout if args.output is None else open(args.output, "w")
+            try:
+                serve_jsonl(predictor, fin, fout, maps_dir=args.maps_dir)
+            finally:
+                if fin is not sys.stdin:
+                    fin.close()
+                if fout is not sys.stdout:
+                    fout.close()
+        else:
+            run_server(
+                cfg,
+                checkpoint=args.checkpoint,
+                port=args.port,
+                host=args.host,
+                warmup=not args.no_warmup,
+            )
     metrics.close()
     return 0
 

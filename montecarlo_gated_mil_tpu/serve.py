@@ -227,7 +227,13 @@ class MCDOPredictor:
         )
 
     def predict_many(
-        self, images, lateralities=None, *, seed: int = 0, dp: bool | None = None
+        self,
+        images,
+        lateralities=None,
+        *,
+        seed: int = 0,
+        seeds: list[int] | None = None,
+        dp: bool | None = None,
     ) -> list[PredictionResult]:
         """Batch prediction.  With more than one device (``dp=None`` auto,
         ``dp=True`` forced) requests are stacked into mesh-sized batches and
@@ -239,14 +245,22 @@ class MCDOPredictor:
         hardware-PRNG dropout is per-core), and with ``quantized`` the
         batched compilation's f32 reduction order can flip values sitting
         on int8 rounding boundaries — both statistically equivalent rather
-        than bitwise-identical."""
+        than bitwise-identical.
+
+        ``seeds`` gives each request its own PRNG seed (overriding the
+        default ``seed + i`` convention) — the JSONL serving front-end
+        passes client-chosen seeds through it."""
         lateralities = lateralities or ["L"] * len(images)
+        if seeds is None:
+            seeds = [seed + i for i in range(len(images))]
+        if len(seeds) != len(images):
+            raise ValueError(f"{len(seeds)} seeds for {len(images)} images")
         if dp is None:
             dp = jax.device_count() > 1 and len(images) > 1
         if not dp:
             return [
-                self.predict(img, lat, seed=seed + i)
-                for i, (img, lat) in enumerate(zip(images, lateralities))
+                self.predict(img, lat, seed=s)
+                for (img, lat, s) in zip(images, lateralities, seeds)
             ]
         from montecarlo_gated_mil_tpu.parallel.dp import (
             make_dp_mc_eval,
@@ -273,23 +287,32 @@ class MCDOPredictor:
                 self._bag_fn(
                     jnp.asarray(images[lo + j], jnp.float32),
                     jnp.asarray(lateralities[lo + j] == "R"),
-                    jnp.asarray(seed + lo + j, jnp.int32),
+                    jnp.asarray(seeds[lo + j], jnp.int32),
                 )
                 for j in range(min(batch, len(images) - lo))
             ]
             stacked, keys, n_real = pad_group_to_batch(
                 mesh, group,
-                [jax.random.key(seed + lo + j) for j in range(len(group))],
+                [jax.random.key(seeds[lo + j]) for j in range(len(group))],
             )
             ys, atts = eval_step(self.params, stacked, keys)
-            for j in range(n_real):
-                bag = group[j]
-                stats = predictive_stats(ys[j])
-                att = attention_stats(atts[j], bag.mask)
+            # One batched host fetch per group (not per result): each
+            # device_get is a full tunnel round trip (~25 ms).
+            fetched = jax.device_get(
+                [
+                    (
+                        predictive_stats(ys[j]),
+                        attention_stats(atts[j], group[j].mask),
+                        group[j].num_instances,
+                    )
+                    for j in range(n_real)
+                ]
+            )
+            for j, (stats, att, n_inst) in enumerate(fetched):
                 results[lo + j] = PredictionResult(
                     prediction=int(stats.prediction),
-                    stats=jax.device_get(stats),
-                    attention=jax.device_get(att),
-                    num_instances=int(bag.num_instances),
+                    stats=stats,
+                    attention=att,
+                    num_instances=int(n_inst),
                 )
         return results

@@ -1,0 +1,270 @@
+"""Serving front-ends for :class:`~montecarlo_gated_mil_tpu.serve.MCDOPredictor`.
+
+The reference repo has no serving story (four research ``__main__`` scripts
+only; SURVEY §0) — this module is the production entry point the rebuild
+adds on top of the warm predictor: a JSONL batch mode for offline scoring
+and a minimal stdlib HTTP server for online requests.  Both emit the same
+result schema, which mirrors the figure-caption statistics of
+``/root/reference/infer.py:47-74`` (mean/std/median/IQR/range of P(cancer),
+mean predictive entropy + verbal bucket).
+
+JSONL request line::
+
+    {"image": "scan_001.npy", "laterality": "R", "seed": 3, "maps": false}
+
+``image`` is a path to a ``(H, W)`` float array in [0, 1] (``.npy``).
+Requests without ``maps`` are grouped through ``predict_many`` — one SPMD
+dispatch per mesh-sized group when more than one device is available —
+while map requests take the single-bag path that also reconstructs
+full-resolution mean/std attention maps (saved as ``.npy`` next to the
+output, paths included in the result line).
+
+HTTP mode (stdlib ``http.server``; one process, requests serialized around
+the device)::
+
+    GET  /healthz            -> {"status": "ok", ...}
+    POST /predict            <- {"image": [[...]] | "image_path": "...",
+                                 "laterality": "L", "seed": 0, "maps": false}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from montecarlo_gated_mil_tpu.core.config import Config
+from montecarlo_gated_mil_tpu.mcdo.sampling import interpret_entropy
+from montecarlo_gated_mil_tpu.serve import MCDOPredictor, PredictionResult
+
+
+def build_predictor(
+    cfg: Config, checkpoint: str | None = None, **kw
+) -> MCDOPredictor:
+    """Predictor from a config + optional Orbax params checkpoint.
+
+    Without ``checkpoint`` the model is freshly initialized (smoke tests,
+    throughput probes); with it, parameters are restored the same way
+    ``run_cv_eval`` reloads fold models (runners.py).
+    """
+    import jax
+
+    from montecarlo_gated_mil_tpu.experiment import build_model
+    from montecarlo_gated_mil_tpu.runners import init_params
+    from montecarlo_gated_mil_tpu.train.state import Checkpointer
+
+    model = build_model(cfg)
+    params = init_params(model, jax.random.key(cfg.seed))
+    if checkpoint:
+        store = Checkpointer(cfg.model_path)
+        try:
+            params = store.restore_params(checkpoint, params)
+        finally:
+            store.close()
+    return MCDOPredictor.from_config(cfg, params, **kw)
+
+
+def result_to_dict(
+    r: PredictionResult, *, maps_prefix: str | None = None
+) -> dict:
+    """JSON-safe result record (schema shared by both front-ends)."""
+    s = r.stats
+    out = {
+        "prediction": int(r.prediction),
+        "mean_probs": np.asarray(s.mean_probs, np.float64).tolist(),
+        "p_mean": float(s.mean),
+        "p_std": float(s.std),
+        "p_median": float(s.median),
+        "p_iqr": float(s.iqr),
+        "p_low": float(s.low),
+        "p_high": float(s.high),
+        "mean_entropy": float(s.mean_entropy),
+        "entropy_bucket": interpret_entropy(s.mean_entropy),
+        "num_instances": int(r.num_instances),
+    }
+    if r.attention_mean_maps is not None:
+        if maps_prefix is not None:
+            mean_path = f"{maps_prefix}_attention_mean.npy"
+            std_path = f"{maps_prefix}_attention_std.npy"
+            np.save(mean_path, r.attention_mean_maps)
+            np.save(std_path, r.attention_std_maps)
+            out["attention_mean_maps"] = mean_path
+            out["attention_std_maps"] = std_path
+        else:
+            out["attention_mean_maps"] = np.asarray(
+                r.attention_mean_maps, np.float64
+            ).tolist()
+            out["attention_std_maps"] = np.asarray(
+                r.attention_std_maps, np.float64
+            ).tolist()
+    return out
+
+
+def _load_image(path: str) -> np.ndarray:
+    img = np.load(path)
+    if img.ndim != 2:
+        raise ValueError(f"{path}: expected a 2-D grayscale array, got {img.shape}")
+    return np.asarray(img, np.float32)
+
+
+def serve_jsonl(
+    predictor: MCDOPredictor,
+    in_stream,
+    out_stream,
+    *,
+    maps_dir: str | None = None,
+) -> int:
+    """Score JSONL requests from ``in_stream`` to ``out_stream`` in order.
+
+    Map-free requests are grouped through ``predict_many`` (SPMD over the
+    mesh when available); map requests run per-bag.  Returns the number of
+    results written.  A malformed line produces an ``{"error": ...}`` line
+    at its position instead of aborting the batch.
+    """
+    requests: list[tuple[int, dict] | tuple[int, Exception]] = []
+    for i, line in enumerate(in_stream):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            requests.append((i, json.loads(line)))
+        except json.JSONDecodeError as e:
+            requests.append((i, e))
+
+    results: dict[int, dict] = {}
+    plain: list[tuple[int, dict, np.ndarray]] = []
+    for i, req in requests:
+        if isinstance(req, Exception):
+            results[i] = {"error": f"bad request line: {req}"}
+            continue
+        try:
+            img = _load_image(req["image"])
+        except (KeyError, OSError, ValueError) as e:
+            results[i] = {"error": str(e)}
+            continue
+        if req.get("maps"):
+            prefix = None
+            if maps_dir is not None:
+                os.makedirs(maps_dir, exist_ok=True)
+                prefix = os.path.join(maps_dir, f"request_{i:05d}")
+            r = predictor.predict(
+                img,
+                req.get("laterality", "L"),
+                seed=int(req.get("seed", 0)),
+                return_maps=True,
+            )
+            results[i] = result_to_dict(r, maps_prefix=prefix)
+        else:
+            plain.append((i, req, img))
+
+    if plain:
+        rs = predictor.predict_many(
+            [img for _, _, img in plain],
+            [req.get("laterality", "L") for _, req, _ in plain],
+            seeds=[int(req.get("seed", 0)) for _, req, _ in plain],
+        )
+        for (i, _, _), r in zip(plain, rs):
+            results[i] = result_to_dict(r)
+
+    n = 0
+    for i in sorted(results):
+        out_stream.write(json.dumps(results[i]) + "\n")
+        n += 1
+    out_stream.flush()
+    return n
+
+
+class _Handler(BaseHTTPRequestHandler):
+    predictor: MCDOPredictor = None  # set by make_server
+    lock: threading.Lock = None
+
+    def log_message(self, *args):  # quiet by default
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            p = self.predictor
+            self._reply(
+                200,
+                {
+                    "status": "ok",
+                    "num_samples": p.num_samples,
+                    "quantized": p.quantized,
+                    "bucket": int(p.pipeline.bucket),
+                },
+            )
+        else:
+            self._reply(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/predict":
+            self._reply(404, {"error": "unknown path"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            if "image" in req:
+                img = np.asarray(req["image"], np.float32)
+                if img.ndim != 2:
+                    raise ValueError(f"expected 2-D image, got {img.shape}")
+            else:
+                img = _load_image(req["image_path"])
+        except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
+            self._reply(400, {"error": str(e)})
+            return
+        with self.lock:
+            r = self.predictor.predict(
+                img,
+                req.get("laterality", "L"),
+                seed=int(req.get("seed", 0)),
+                return_maps=bool(req.get("maps", False)),
+            )
+        self._reply(200, result_to_dict(r))
+
+
+def make_server(
+    predictor: MCDOPredictor, port: int, host: str = "127.0.0.1"
+) -> ThreadingHTTPServer:
+    """HTTP server wrapping a warm predictor (call ``serve_forever`` on it).
+
+    Requests are serialized around the device with a lock: one chip runs one
+    bag at a time anyway (bag-batching measured negative,
+    docs/PERFORMANCE.md), so concurrency buys queueing, not throughput.
+    """
+    handler = type(
+        "Handler", (_Handler,),
+        {"predictor": predictor, "lock": threading.Lock()},
+    )
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def run_server(
+    cfg: Config,
+    *,
+    checkpoint: str | None = None,
+    port: int = 8000,
+    host: str = "127.0.0.1",
+    warmup: bool = True,
+) -> None:
+    predictor = build_predictor(cfg, checkpoint)
+    if warmup:
+        predictor.warmup()
+    srv = make_server(predictor, port, host)
+    print(f"serving on http://{host}:{port} (POST /predict, GET /healthz)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

@@ -1,0 +1,205 @@
+"""Serving front-ends (server.py): JSONL batch scoring + HTTP server.
+
+No reference counterpart (the reference ships research scripts only);
+the result schema mirrors the figure-caption statistics of
+``/root/reference/infer.py:47-74``.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+
+from montecarlo_gated_mil_tpu.core.config import config_from_dict
+from montecarlo_gated_mil_tpu.data.synthetic import synthetic_image
+from montecarlo_gated_mil_tpu.server import (
+    build_predictor,
+    make_server,
+    result_to_dict,
+    serve_jsonl,
+)
+
+
+def _cfg(**tpu_overrides):
+    tpu = {"buckets": [8], "use_pallas_attention": False}
+    tpu.update(tpu_overrides)
+    return config_from_dict(
+        {
+            "N": 3,
+            "seed": 0,
+            "data": {
+                "H": 128, "W": 128, "patch_size": 64,
+                "overlap_train": 0.0, "overlap_val_test": 0.0,
+                "empty_threshold": 0.05, "synthetic_count": 1,
+            },
+            "tpu": tpu,
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return build_predictor(_cfg())
+
+
+def _write_requests(tmp_path, reqs):
+    paths = []
+    for i, r in enumerate(reqs):
+        img = synthetic_image(128, 128, positive=bool(i % 2), seed=20 + i)
+        p = tmp_path / f"img_{i}.npy"
+        np.save(p, np.asarray(img))
+        r = dict(r)
+        r["image"] = str(p)
+        paths.append(r)
+    return "\n".join(json.dumps(r) for r in paths) + "\n"
+
+
+@pytest.mark.slow
+def test_serve_jsonl_matches_predict(predictor, tmp_path):
+    text = _write_requests(
+        tmp_path,
+        [{"seed": 5}, {"seed": 9, "laterality": "R"}, {"seed": 2}],
+    )
+    out = io.StringIO()
+    n = serve_jsonl(predictor, io.StringIO(text), out)
+    assert n == 3
+    lines = [json.loads(line) for line in out.getvalue().splitlines()]
+    for i, (req, got) in enumerate(
+        zip((json.loads(t) for t in text.splitlines()), lines)
+    ):
+        img = np.load(req["image"])
+        want = predictor.predict(
+            img, req.get("laterality", "L"), seed=req["seed"]
+        )
+        assert got["prediction"] == want.prediction
+        np.testing.assert_allclose(got["p_mean"], float(want.stats.mean), atol=1e-5)
+        assert got["num_instances"] == want.num_instances
+        assert got["entropy_bucket"] in ("very low", "low", "moderate", "high")
+        assert "attention_mean_maps" not in got
+
+
+@pytest.mark.slow
+def test_serve_jsonl_maps_and_errors(predictor, tmp_path):
+    good = _write_requests(tmp_path, [{"seed": 1, "maps": True}])
+    text = good + 'not json\n' + json.dumps({"image": "/nope.npy"}) + "\n"
+    out = io.StringIO()
+    n = serve_jsonl(
+        predictor, io.StringIO(text), out, maps_dir=str(tmp_path / "maps")
+    )
+    assert n == 3
+    lines = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert "attention_mean_maps" in lines[0]
+    maps = np.load(lines[0]["attention_mean_maps"])
+    assert maps.shape == (2, 128, 128)
+    assert np.load(lines[0]["attention_std_maps"]).shape == (2, 128, 128)
+    assert "error" in lines[1]
+    assert "error" in lines[2]
+
+
+@pytest.mark.slow
+def test_result_to_dict_inline_maps(predictor):
+    img = synthetic_image(128, 128, positive=True, seed=3)
+    r = predictor.predict(img, return_maps=True)
+    d = result_to_dict(r)
+    assert np.asarray(d["attention_mean_maps"]).shape == (2, 128, 128)
+    assert json.loads(json.dumps(d))  # fully JSON-serializable
+
+
+@pytest.mark.slow
+def test_http_server(predictor):
+    srv = make_server(predictor, port=0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["status"] == "ok"
+        assert health["num_samples"] == predictor.num_samples
+
+        img = synthetic_image(128, 128, positive=True, seed=4)
+        body = json.dumps(
+            {"image": np.asarray(img).tolist(), "seed": 6}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            got = json.loads(resp.read())
+        want = predictor.predict(img, seed=6)
+        assert got["prediction"] == want.prediction
+        np.testing.assert_allclose(got["p_mean"], float(want.stats.mean), atol=1e-5)
+
+        # malformed request -> 400, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=b'{"nope": 1}',
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad, timeout=30)
+        assert exc_info.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+@pytest.mark.slow
+def test_cli_serve_jsonl(tmp_path):
+    import yaml
+
+    from montecarlo_gated_mil_tpu.cli import main
+    from montecarlo_gated_mil_tpu.core.config import config_to_dict
+
+    cfg_path = tmp_path / "config.yml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(config_to_dict(_cfg()), f)
+    in_path = tmp_path / "requests.jsonl"
+    in_path.write_text(_write_requests(tmp_path, [{"seed": 0}, {"seed": 1}]))
+    out_path = tmp_path / "results.jsonl"
+    rc = main(
+        [
+            "serve", "--config", str(cfg_path), "--input", str(in_path),
+            "--output", str(out_path), "--no-warmup",
+        ]
+    )
+    assert rc == 0
+    lines = [json.loads(line) for line in out_path.read_text().splitlines()]
+    assert len(lines) == 2
+    assert all(r["prediction"] in (0, 1) for r in lines)
+
+
+@pytest.mark.slow
+def test_build_predictor_restores_checkpoint(tmp_path):
+    """build_predictor(checkpoint=...) reloads saved params (the serving
+    analogue of run_cv_eval's reload path)."""
+    from montecarlo_gated_mil_tpu.experiment import build_model
+    from montecarlo_gated_mil_tpu.runners import init_params
+    import dataclasses
+
+    from montecarlo_gated_mil_tpu.train.state import Checkpointer
+
+    cfg = dataclasses.replace(_cfg(), model_path=str(tmp_path / "models"))
+    model = build_model(cfg)
+    params = init_params(model, jax.random.key(42))
+    store = Checkpointer(cfg.model_path)
+    store.save_params("served", params)
+    store.close()
+
+    p = build_predictor(cfg, "served")
+    img = synthetic_image(128, 128, positive=False, seed=7)
+    got = p.predict(img, seed=1)
+
+    from montecarlo_gated_mil_tpu.serve import MCDOPredictor
+
+    want = MCDOPredictor.from_config(cfg, params).predict(img, seed=1)
+    assert got.prediction == want.prediction
+    np.testing.assert_allclose(
+        np.asarray(got.stats.mean), np.asarray(want.stats.mean), atol=1e-6
+    )
