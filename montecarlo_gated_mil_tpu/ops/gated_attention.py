@@ -46,10 +46,15 @@ _INV_2_24 = float(2.0**-24)
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class GatedAttentionParams:
-    """Shared-gate multi-head GA parameters in kernel layout.
+    """Multi-head GA parameters in kernel layout; both gate modes.
 
-    w_V/w_U: (L, D); b_V/b_U: (D,); w_att: (D, C); b_att: (C,);
-    w_cls: (C, L) bias-free per-class classifiers.
+    Shared gate (``model.py:182-193`` shared branch):
+      w_V/w_U: (L, D); b_V/b_U: (D,); w_att: (D, C); b_att: (C,).
+    Separate per-class gates (the reference's shipped default,
+    ``config.yml:8`` ``shared_att: False``): a leading class axis —
+      w_V/w_U: (C, L, D); b_V/b_U: (C, D); w_att: (C, D); b_att: (C,).
+    Either way w_cls: (C, L) bias-free per-class classifiers.  The gate
+    mode is carried by ``w_V.ndim`` (static under jit).
     """
 
     w_V: Array
@@ -60,14 +65,23 @@ class GatedAttentionParams:
     b_att: Array
     w_cls: Array
 
+    @property
+    def separate(self) -> bool:
+        return self.w_V.ndim == 3
+
     @staticmethod
     def from_model_params(p: dict) -> "GatedAttentionParams":
-        """Convert ``MultiHeadGatedAttentionMIL`` flax params (shared gate)."""
-        if p["w_V"].ndim != 2:
-            raise ValueError(
-                "the fused kernel supports shared-attention models only "
-                f"(w_V must be (L, D), got shape {tuple(p['w_V'].shape)}; "
-                "separate per-class gates use the jnp path)"
+        """Convert ``MultiHeadGatedAttentionMIL`` flax params (either gate
+        mode; ``w_V.ndim`` distinguishes them)."""
+        if p["w_V"].ndim == 3:  # separate per-class gates
+            return GatedAttentionParams(
+                w_V=p["w_V"],  # (C, L, D)
+                b_V=p["b_V"],  # (C, D)
+                w_U=p["w_U"],
+                b_U=p["b_U"],
+                w_att=p["w_att"][:, :, 0],  # (C, D, 1) -> (C, D)
+                b_att=p["b_att"][:, 0],  # (C, 1) -> (C,)
+                w_cls=p["w_cls"][:, :, 0],  # (C, L, 1) -> (C, L)
             )
         return GatedAttentionParams(
             w_V=p["w_V"],
@@ -98,10 +112,21 @@ def mc_head_reference(
         if feature_dropout > 0.0:
             keep = jax.random.bernoulli(kf, 1.0 - feature_dropout, H.shape)
             Hd = jnp.where(keep, Hd / (1.0 - feature_dropout), 0.0)
-        G = jnp.tanh(Hd @ params.w_V + params.b_V) * jax.nn.sigmoid(
-            Hd @ params.w_U + params.b_U
-        )
-        logits = (G @ params.w_att + params.b_att).T  # (C, N)
+        if params.separate:
+            G = jnp.tanh(
+                jnp.einsum("nl,cld->cnd", Hd, params.w_V) + params.b_V[:, None, :]
+            ) * jax.nn.sigmoid(
+                jnp.einsum("nl,cld->cnd", Hd, params.w_U) + params.b_U[:, None, :]
+            )  # (C, N, D)
+            logits = (
+                jnp.einsum("cnd,cd->cn", G, params.w_att)
+                + params.b_att[:, None]
+            )  # (C, N)
+        else:
+            G = jnp.tanh(Hd @ params.w_V + params.b_V) * jax.nn.sigmoid(
+                Hd @ params.w_U + params.b_U
+            )
+            logits = (G @ params.w_att + params.b_att).T  # (C, N)
         if attention_dropout > 0.0:
             keep = jax.random.bernoulli(ka, 1.0 - attention_dropout, logits.shape)
             logits = jnp.where(keep, logits / (1.0 - attention_dropout), 0.0)
@@ -212,6 +237,109 @@ def _fused_fwd_call(
             flops=num_samples * (2 * n * l * d * 2 + 2 * n * d * c + 2 * c * n * l),
             bytes_accessed=n * l * 4 + num_samples * (c * l * 4 + n * c * 4),
             transcendentals=num_samples * 2 * n * d,
+        ),
+        interpret=interpret,
+    )(seeds, H, mask_f, wv, bv, wu, bu, wa, ba)
+
+
+def _mc_kernel_sep(
+    seed_ref,  # (T,) SMEM int32
+    h_ref,  # (N, L) VMEM
+    mask_ref,  # (N, 1) VMEM float
+    wv_ref,  # (C, L, D)
+    bv_ref,  # (C, 1, D)
+    wu_ref,  # (C, L, D)
+    bu_ref,  # (C, 1, D)
+    wa_ref,  # (C, D, 1)
+    ba_ref,  # (1, C)
+    m_ref,  # (1, C, L) out
+    a_ref,  # (1, N, C) out
+    *,
+    p_feat: float,
+    p_att: float,
+):
+    """Separate-gates variant of ``_mc_kernel``: one V/U gate per class
+    (the reference's shipped ``shared_att: False`` configuration,
+    ``config.yml:8`` / ``model.py:185-193``).  The per-class logit columns
+    are placed into the (N, C) logit matrix with a lane-iota select, after
+    which attention dropout / masked softmax / pooling are identical to
+    the shared kernel.  Dropout draw order (feature mask, then one (N, C)
+    attention mask) matches the shared kernel and the jnp twin."""
+    if p_feat > 0.0 or p_att > 0.0:
+        pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    H = h_ref[:].astype(jnp.float32)
+    if p_feat > 0.0:
+        keep = (_uniform(H.shape) >= p_feat).astype(jnp.float32)
+        H = H * keep * (1.0 / (1.0 - p_feat))
+    n = H.shape[0]
+    c_dim = wa_ref.shape[0]
+    cols = []
+    for c in range(c_dim):
+        V = jnp.tanh(
+            jnp.dot(H, wv_ref[c], preferred_element_type=jnp.float32) + bv_ref[c]
+        )
+        U = jax.nn.sigmoid(
+            jnp.dot(H, wu_ref[c], preferred_element_type=jnp.float32) + bu_ref[c]
+        )
+        cols.append(
+            jnp.dot(V * U, wa_ref[c], preferred_element_type=jnp.float32)
+        )  # (N, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, c_dim), 1)
+    logits = ba_ref[:]
+    for c in range(c_dim):
+        logits = logits + jnp.where(lane == c, cols[c], 0.0)
+    if p_att > 0.0:
+        keep = (_uniform(logits.shape) >= p_att).astype(jnp.float32)
+        logits = logits * keep * (1.0 / (1.0 - p_att))
+    m = mask_ref[:]  # (N, 1)
+    filled = jnp.where(m > 0.0, logits, _MASK_FILL)
+    mx = jnp.max(filled, axis=0, keepdims=True)
+    mx = jnp.where(mx <= _MASK_FILL, 0.0, mx)
+    e = jnp.where(m > 0.0, jnp.exp(filled - mx), 0.0)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    A = e / jnp.where(denom > 0.0, denom, 1.0)  # (N, C)
+    M = jax.lax.dot_general(
+        A, H, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, L)
+    m_ref[0] = M
+    a_ref[0] = A
+
+
+def _fused_fwd_call_sep(
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba, *, num_samples, p_feat, p_att, interpret
+):
+    n, l = H.shape
+    c, _, d = wv.shape
+    kernel = functools.partial(_mc_kernel_sep, p_feat=p_feat, p_att=p_att)
+    c2 = lambda *_: (0, 0)  # noqa: E731
+    c3 = lambda *_: (0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(num_samples,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, l), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d, 1), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), c2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, l), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_samples, c, l), jnp.float32),
+            jax.ShapeDtypeStruct((num_samples, n, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=num_samples * (2 * n * l * d * 2 * c + 2 * n * d * c + 2 * c * n * l),
+            bytes_accessed=n * l * 4 + num_samples * (c * l * 4 + n * c * 4),
+            transcendentals=num_samples * 2 * n * d * c,
         ),
         interpret=interpret,
     )(seeds, H, mask_f, wv, bv, wu, bu, wa, ba)
@@ -399,6 +527,245 @@ def _fused_bwd_call(
     )(seeds, H, mask_f, wv, wu, wa, bv, bu, ba, dM, dA)
 
 
+def _mc_bwd_kernel_sep(
+    seed_ref,  # (T,) SMEM int32
+    h_ref,  # (N, L) VMEM
+    mask_ref,  # (N, 1) VMEM float
+    wv_ref,  # (C, L, D)
+    wu_ref,  # (C, L, D)
+    wa_ref,  # (C, D, 1)
+    bv_ref,  # (C, 1, D)
+    bu_ref,  # (C, 1, D)
+    ba_ref,  # (1, C)
+    dm_ref,  # (1, C, L)
+    da_ref,  # (1, N, C)
+    dh_ref,  # (N, L) out, T-grid accumulated
+    dwv_ref,  # (C, L, D) out
+    dbv_ref,  # (C, 1, D) out
+    dwu_ref,  # (C, L, D) out
+    dbu_ref,  # (C, 1, D) out
+    dwa_ref,  # (C, D, 1) out
+    dba_ref,  # (1, C) out
+    *,
+    p_feat: float,
+    p_att: float,
+):
+    """Backward of one separate-gates MC sample (mirrors ``_mc_bwd_kernel``;
+    dropout masks replayed from the per-sample seed in forward draw order)."""
+    t = pl.program_id(0)
+    if p_feat > 0.0 or p_att > 0.0:
+        pltpu.prng_seed(seed_ref[t])
+    H = h_ref[:].astype(jnp.float32)
+    inv_keep_f = 1.0 / (1.0 - p_feat) if p_feat > 0.0 else 1.0
+    if p_feat > 0.0:
+        kf = (_uniform(H.shape) >= p_feat).astype(jnp.float32)
+        Hd = H * kf * inv_keep_f
+    else:
+        kf = None
+        Hd = H
+    n = Hd.shape[0]
+    c_dim = wa_ref.shape[0]
+    Vs, Us, cols = [], [], []
+    for c in range(c_dim):
+        V = jnp.tanh(
+            jnp.dot(Hd, wv_ref[c], preferred_element_type=jnp.float32) + bv_ref[c]
+        )
+        U = jax.nn.sigmoid(
+            jnp.dot(Hd, wu_ref[c], preferred_element_type=jnp.float32) + bu_ref[c]
+        )
+        Vs.append(V)
+        Us.append(U)
+        cols.append(
+            jnp.dot(V * U, wa_ref[c], preferred_element_type=jnp.float32)
+        )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, c_dim), 1)
+    logits = ba_ref[:]
+    for c in range(c_dim):
+        logits = logits + jnp.where(lane == c, cols[c], 0.0)
+    inv_keep_a = 1.0 / (1.0 - p_att) if p_att > 0.0 else 1.0
+    if p_att > 0.0:
+        ka = (_uniform(logits.shape) >= p_att).astype(jnp.float32)
+        logits = logits * ka * inv_keep_a
+    else:
+        ka = None
+    m = mask_ref[:]
+    filled = jnp.where(m > 0.0, logits, _MASK_FILL)
+    mx = jnp.max(filled, axis=0, keepdims=True)
+    mx = jnp.where(mx <= _MASK_FILL, 0.0, mx)
+    e = jnp.where(m > 0.0, jnp.exp(filled - mx), 0.0)
+    denom = jnp.sum(e, axis=0, keepdims=True)
+    A = e / jnp.where(denom > 0.0, denom, 1.0)  # (N, C)
+
+    dM = dm_ref[0]  # (C, L)
+    dA = da_ref[0] + jax.lax.dot_general(
+        Hd, dM, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, C)
+    dHd = jnp.dot(A, dM, preferred_element_type=jnp.float32)  # (N, L)
+    s = jnp.sum(dA * A, axis=0, keepdims=True)
+    dlogits = A * (dA - s)  # (N, C)
+    if ka is not None:
+        dlogits = dlogits * ka * inv_keep_a
+    dba = jnp.sum(dlogits, axis=0, keepdims=True)  # (1, C)
+    dwvs, dbvs, dwus, dbus, dwas = [], [], [], [], []
+    for c in range(c_dim):
+        dcol = jnp.where(lane == c, dlogits, 0.0)
+        dcol = jnp.sum(dcol, axis=1, keepdims=True)  # (N, 1)
+        dG = jax.lax.dot_general(
+            dcol, wa_ref[c], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, D)
+        dwas.append(
+            jax.lax.dot_general(
+                Vs[c] * Us[c], dcol, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # (D, 1)
+        dV = dG * Us[c]
+        dU = dG * Vs[c]
+        dzv = dV * (1.0 - Vs[c] * Vs[c])
+        dzu = dU * Us[c] * (1.0 - Us[c])
+        dHd = dHd + jax.lax.dot_general(
+            dzv, wv_ref[c], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            dzu, wu_ref[c], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwvs.append(
+            jax.lax.dot_general(
+                Hd, dzv, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dwus.append(
+            jax.lax.dot_general(
+                Hd, dzu, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dbvs.append(jnp.sum(dzv, axis=0, keepdims=True))
+        dbus.append(jnp.sum(dzu, axis=0, keepdims=True))
+    dH = dHd * kf * inv_keep_f if kf is not None else dHd
+
+    @pl.when(t == 0)
+    def _():
+        dh_ref[:] = dH
+        dba_ref[:] = dba
+        for c in range(c_dim):
+            dwv_ref[c] = dwvs[c]
+            dbv_ref[c] = dbvs[c]
+            dwu_ref[c] = dwus[c]
+            dbu_ref[c] = dbus[c]
+            dwa_ref[c] = dwas[c]
+
+    @pl.when(t > 0)
+    def _():
+        dh_ref[:] += dH
+        dba_ref[:] += dba
+        for c in range(c_dim):
+            dwv_ref[c] += dwvs[c]
+            dbv_ref[c] += dbvs[c]
+            dwu_ref[c] += dwus[c]
+            dbu_ref[c] += dbus[c]
+            dwa_ref[c] += dwas[c]
+
+
+def _fused_bwd_call_sep(
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba, dM, dA,
+    *, num_samples, p_feat, p_att, interpret,
+):
+    n, l = H.shape
+    c, _, d = wv.shape
+    kernel = functools.partial(_mc_bwd_kernel_sep, p_feat=p_feat, p_att=p_att)
+    c2 = lambda *_: (0, 0)  # noqa: E731
+    c3 = lambda *_: (0, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kernel,
+        grid=(num_samples,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, l), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, 1), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d, 1), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, l), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, l), c2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, l, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, d), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d, 1), c3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), c2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, l), jnp.float32),
+            jax.ShapeDtypeStruct((c, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, d, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=num_samples * (2 * n * l * d * 6 * c + 2 * n * d * c * 3),
+            bytes_accessed=n * l * 4 * 2 + num_samples * (c * l * 4 + n * c * 4),
+            transcendentals=num_samples * 2 * n * d * c,
+        ),
+        interpret=interpret,
+    )(seeds, H, mask_f, wv, wu, wa, bv, bu, ba, dM, dA)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_core_sep(
+    num_samples, p_feat, p_att, interpret, seeds, H, mask_f, wv, bv, wu, bu, wa, ba
+):
+    """Separate-gates differentiable core (mirrors ``_fused_core``)."""
+    return _fused_fwd_call_sep(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+
+
+def _fused_core_sep_fwd(
+    num_samples, p_feat, p_att, interpret, seeds, H, mask_f, wv, bv, wu, bu, wa, ba
+):
+    out = _fused_fwd_call_sep(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+    return out, (seeds, H, mask_f, wv, bv, wu, bu, wa, ba)
+
+
+def _fused_core_sep_bwd(num_samples, p_feat, p_att, interpret, res, cotangents):
+    import numpy as np
+
+    seeds, H, mask_f, wv, bv, wu, bu, wa, ba = res
+    dM, dA = cotangents
+    dH, dwv, dbv, dwu, dbu, dwa, dba = _fused_bwd_call_sep(
+        seeds, H, mask_f, wv, bv, wu, bu, wa, ba,
+        dM.astype(jnp.float32), dA.astype(jnp.float32),
+        num_samples=num_samples, p_feat=p_feat, p_att=p_att, interpret=interpret,
+    )
+    dseeds = np.zeros(seeds.shape, dtype=jax.dtypes.float0)
+    return (
+        dseeds,
+        dH.astype(H.dtype),
+        jnp.zeros_like(mask_f),
+        dwv, dbv, dwu, dbu, dwa, dba,
+    )
+
+
+_fused_core_sep.defvjp(_fused_core_sep_fwd, _fused_core_sep_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _fused_core(
     num_samples, p_feat, p_att, interpret, seeds, H, mask_f, wv, bv, wu, bu, wa, ba
@@ -461,6 +828,10 @@ def mc_gated_attention_fused(
 ) -> tuple[Array, Array]:
     """All T MC samples of the gated-attention head in one Pallas kernel.
 
+    Both gate modes: shared V/U gate, and separate per-class gates (the
+    reference's shipped ``shared_att: False`` default) — dispatch is static
+    on ``params.w_V.ndim``.
+
     Differentiable: a custom VJP runs a twin Pallas backward kernel that
     re-seeds the hardware PRNG to regenerate the forward's exact dropout
     masks, so mc_validate/training can take the fused path too (gradient
@@ -478,6 +849,24 @@ def mc_gated_attention_fused(
         raise ValueError(f"bucket size N={n} must be a multiple of 8 (TPU sublanes)")
     seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(num_samples, dtype=jnp.int32)
     mask_f = mask.astype(jnp.float32)[:, None]
+    if params.separate:
+        pooled, a = _fused_core_sep(
+            num_samples,
+            float(feature_dropout),
+            float(attention_dropout),
+            interpret,
+            seeds,
+            H,
+            mask_f,
+            params.w_V.astype(jnp.float32),
+            params.b_V[:, None, :].astype(jnp.float32),  # (C, 1, D)
+            params.w_U.astype(jnp.float32),
+            params.b_U[:, None, :].astype(jnp.float32),
+            params.w_att[:, :, None].astype(jnp.float32),  # (C, D, 1)
+            params.b_att.reshape(1, -1).astype(jnp.float32),  # (1, C)
+        )
+        y = jnp.einsum("tcl,cl->tc", pooled, params.w_cls.astype(jnp.float32))
+        return y, jnp.transpose(a, (0, 2, 1))
     pooled, a = _fused_core(
         num_samples,
         float(feature_dropout),

@@ -61,12 +61,9 @@ from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
 def _use_pallas(cfg: Config, model) -> bool:
-    """Fused-kernel eligibility: enabled, on TPU, shared-attention model."""
-    return (
-        cfg.tpu.use_pallas_attention
-        and jax.default_backend() == "tpu"
-        and getattr(model, "shared_attention", False)
-    )
+    """Fused-kernel eligibility: enabled and on TPU (both gate modes —
+    shared and separate per-class — have fused kernels)."""
+    return cfg.tpu.use_pallas_attention and jax.default_backend() == "tpu"
 
 
 def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):

@@ -38,6 +38,22 @@ from montecarlo_gated_mil_tpu.viz.attention import reconstruct_attention_maps
 Array = jax.Array
 
 
+def _prepare_image(image, pixel_max: float | None):
+    """(host array to ship, device-side 1/max scale).
+
+    Integer arrays ship as-is (1-2 bytes/px) and normalize on device by
+    ``pixel_max`` (default: dtype max; pass ``2**bits_stored - 1`` for raw
+    DICOM pixels, matching ``/root/reference/dataset.py:176-180``).  Float
+    arrays are assumed already in [0, 1] unless ``pixel_max`` says otherwise.
+    """
+    arr = np.asarray(image)
+    if arr.dtype.kind in "ui":
+        mx = float(np.iinfo(arr.dtype).max) if pixel_max is None else float(pixel_max)
+        return arr, np.float32(1.0 / mx)
+    arr = np.asarray(arr, np.float32)
+    return arr, np.float32(1.0 if pixel_max is None else 1.0 / float(pixel_max))
+
+
 @dataclass(frozen=True)
 class PredictionResult:
     """One bag's uncertainty-aware prediction."""
@@ -78,9 +94,7 @@ class MCDOPredictor:
         self._grid = pipeline.grid()
         self._starts = jnp.asarray(self._grid.tiles_array()[:, :2])
         self._kernel_params = (
-            GatedAttentionParams.from_model_params(params)
-            if use_pallas and getattr(model, "shared_attention", True)
-            else None
+            GatedAttentionParams.from_model_params(params) if use_pallas else None
         )
         self._qparams = None
         if quantized:
@@ -93,7 +107,11 @@ class MCDOPredictor:
             )
 
         @jax.jit
-        def _infer(image, flip, seed):
+        def _infer(image, flip, seed, inv_max):
+            # Integer pixels (raw DICOM uint16/uint8) normalize on device —
+            # the reference's 2^BitsStored-1 scaling (dataset.py:176-180) —
+            # so the host->device transfer ships 1-2 bytes/px, not 4.
+            image = image.astype(jnp.float32) * inv_max
             bag = image_to_bag(
                 image, flip, jnp.asarray(0), jax.random.key(seed), self._starts,
                 self.pipeline,
@@ -124,7 +142,8 @@ class MCDOPredictor:
         self._infer = _infer
 
         @jax.jit
-        def _bag_fn(image, flip, bag_seed):
+        def _bag_fn(image, flip, bag_seed, inv_max):
+            image = image.astype(jnp.float32) * inv_max
             return image_to_bag(
                 image, flip, jnp.asarray(0), jax.random.key(bag_seed),
                 self._starts, self.pipeline,
@@ -187,16 +206,22 @@ class MCDOPredictor:
         *,
         seed: int = 0,
         return_maps: bool = False,
+        pixel_max: float | None = None,
     ) -> PredictionResult:
-        """Classify one grayscale mammogram in [0, 1].
+        """Classify one grayscale mammogram.
 
-        ``return_maps`` additionally reconstructs full-resolution mean/std
-        attention maps (the infer.py figure inputs).
+        ``image`` is float in [0, 1], or a raw integer pixel array (uint8/
+        uint16) normalized on device by ``pixel_max`` (default: dtype max;
+        pass ``2**bits_stored - 1`` for DICOM) — integer input halves the
+        host->device transfer.  ``return_maps`` additionally reconstructs
+        full-resolution mean/std attention maps (the infer.py figure inputs).
         """
+        arr, inv_max = _prepare_image(image, pixel_max)
         bag, y, a = self._infer(
-            jnp.asarray(image, jnp.float32),
+            arr,
             jnp.asarray(laterality == "R"),
             jnp.asarray(seed, jnp.int32),
+            inv_max,
         )
         stats = predictive_stats(y)
         att = attention_stats(a, bag.mask)
@@ -233,6 +258,7 @@ class MCDOPredictor:
         *,
         seed: int = 0,
         seeds: list[int] | None = None,
+        pixel_maxes: list[float | None] | None = None,
         dp: bool | None = None,
     ) -> list[PredictionResult]:
         """Batch prediction.  With more than one device (``dp=None`` auto,
@@ -255,12 +281,15 @@ class MCDOPredictor:
             seeds = [seed + i for i in range(len(images))]
         if len(seeds) != len(images):
             raise ValueError(f"{len(seeds)} seeds for {len(images)} images")
+        pixel_maxes = pixel_maxes or [None] * len(images)
         if dp is None:
             dp = jax.device_count() > 1 and len(images) > 1
         if not dp:
             return [
-                self.predict(img, lat, seed=s)
-                for (img, lat, s) in zip(images, lateralities, seeds)
+                self.predict(img, lat, seed=s, pixel_max=pm)
+                for (img, lat, s, pm) in zip(
+                    images, lateralities, seeds, pixel_maxes
+                )
             ]
         from montecarlo_gated_mil_tpu.parallel.dp import (
             make_dp_mc_eval,
@@ -283,14 +312,19 @@ class MCDOPredictor:
             # Build bags per mesh-sized group: at production shape a bag is
             # ~300 MB, so materializing every request's bag up front would
             # exhaust HBM on long request lists.
-            group = [
-                self._bag_fn(
-                    jnp.asarray(images[lo + j], jnp.float32),
-                    jnp.asarray(lateralities[lo + j] == "R"),
-                    jnp.asarray(seeds[lo + j], jnp.int32),
+            group = []
+            for j in range(min(batch, len(images) - lo)):
+                arr, inv_max = _prepare_image(
+                    images[lo + j], pixel_maxes[lo + j]
                 )
-                for j in range(min(batch, len(images) - lo))
-            ]
+                group.append(
+                    self._bag_fn(
+                        arr,
+                        jnp.asarray(lateralities[lo + j] == "R"),
+                        jnp.asarray(seeds[lo + j], jnp.int32),
+                        inv_max,
+                    )
+                )
             stacked, keys, n_real = pad_group_to_batch(
                 mesh, group,
                 [jax.random.key(seeds[lo + j]) for j in range(len(group))],

@@ -104,9 +104,13 @@ def result_to_dict(
 
 
 def _load_image(path: str) -> np.ndarray:
+    """Load a 2-D grayscale array, preserving integer dtypes (raw DICOM
+    pixels ship to the device as 1-2 bytes/px and normalize there)."""
     img = np.load(path)
     if img.ndim != 2:
         raise ValueError(f"{path}: expected a 2-D grayscale array, got {img.shape}")
+    if img.dtype.kind in "ui":
+        return img
     return np.asarray(img, np.float32)
 
 
@@ -155,6 +159,7 @@ def serve_jsonl(
                 req.get("laterality", "L"),
                 seed=int(req.get("seed", 0)),
                 return_maps=True,
+                pixel_max=req.get("pixel_max"),
             )
             results[i] = result_to_dict(r, maps_prefix=prefix)
         else:
@@ -165,6 +170,7 @@ def serve_jsonl(
             [img for _, _, img in plain],
             [req.get("laterality", "L") for _, req, _ in plain],
             seeds=[int(req.get("seed", 0)) for _, req, _ in plain],
+            pixel_maxes=[req.get("pixel_max") for _, req, _ in plain],
         )
         for (i, _, _), r in zip(plain, rs):
             results[i] = result_to_dict(r)
@@ -229,6 +235,7 @@ class _Handler(BaseHTTPRequestHandler):
                 req.get("laterality", "L"),
                 seed=int(req.get("seed", 0)),
                 return_maps=bool(req.get("maps", False)),
+                pixel_max=req.get("pixel_max"),
             )
         self._reply(200, result_to_dict(r))
 

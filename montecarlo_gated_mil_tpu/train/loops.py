@@ -304,8 +304,8 @@ def mc_validate(
     fold: int | None = None,
     use_pallas: bool = False,
 ) -> float:
-    """MC validation (spec above).  ``use_pallas=True`` (TPU + shared
-    attention) runs the fused MC kernel — its custom VJP also makes this path
+    """MC validation (spec above).  ``use_pallas=True`` (TPU; both gate
+    modes) runs the fused MC kernel — its custom VJP also makes this path
     gradient-capable; dropout masks come from the hardware PRNG, so losses
     are statistically equivalent but not bit-identical to the default."""
     step = _mc_val_step(model, criterion, num_samples, _allow_pallas(model, use_pallas))
@@ -389,7 +389,7 @@ def mc_test(
 ) -> tuple[float, str]:
     """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``).
 
-    ``use_pallas=True`` (TPU + shared attention only) runs the fused MC
+    ``use_pallas=True`` (TPU; both gate modes) runs the fused MC
     kernel — 24x the vmap head; its dropout masks come from the hardware
     PRNG, so predictions are statistically equivalent but not bit-identical
     to the default path.  ``quantized=True`` embeds through the int8 PTQ

@@ -22,8 +22,19 @@ from montecarlo_gated_mil_tpu.mcdo import mc_head
 ON_TPU = jax.default_backend() == "tpu"
 
 
-def _params(key, L=128, D=32, C=2):
+def _params(key, L=128, D=32, C=2, separate=False):
     ks = jax.random.split(key, 7)
+    if separate:
+        # per-class gates: the reference's shipped config (config.yml:8)
+        return GatedAttentionParams(
+            w_V=jax.random.normal(ks[0], (C, L, D)) * 0.05,
+            b_V=jax.random.normal(ks[1], (C, D)) * 0.05,
+            w_U=jax.random.normal(ks[2], (C, L, D)) * 0.05,
+            b_U=jax.random.normal(ks[3], (C, D)) * 0.05,
+            w_att=jax.random.normal(ks[4], (C, D)) * 0.05,
+            b_att=jax.random.normal(ks[5], (C,)) * 0.05,
+            w_cls=jax.random.normal(ks[6], (C, L)) * 0.05,
+        )
     return GatedAttentionParams(
         w_V=jax.random.normal(ks[0], (L, D)) * 0.05,
         b_V=jax.random.normal(ks[1], (D,)) * 0.05,
@@ -35,27 +46,36 @@ def _params(key, L=128, D=32, C=2):
     )
 
 
-def test_kernel_matches_reference_no_dropout():
+@pytest.mark.parametrize("separate", [False, True])
+def test_kernel_matches_reference_no_dropout(separate):
     key = jax.random.key(0)
     N, L = 64, 128
-    params = _params(key, L=L)
+    params = _params(key, L=L, separate=separate)
     H = jax.random.normal(jax.random.key(1), (N, L))
     mask = jnp.arange(N) < 50
     y_ref, a_ref = mc_head_reference(H, mask, params, 3, key, 0.0, 0.0)
     y_k, a_k = mc_gated_attention_fused(
         H, mask, params, 3, jnp.asarray(1, jnp.int32), 0.0, 0.0, interpret=not ON_TPU
     )
-    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_ref), atol=1e-6)
+    # Interpret mode (CPU) is exact f32 — strict.  On hardware, kernel and
+    # twin take different MXU f32 matmul decompositions; measured gap is
+    # ~2e-5 on logits / ~7e-6 on attention (still inside the 1e-5
+    # attention-parity north star, BASELINE.json:5).
+    y_tol, a_tol = (1e-4, 1e-5) if ON_TPU else (1e-5, 1e-6)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_ref), atol=y_tol)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_ref), atol=a_tol)
     assert np.all(np.asarray(a_k)[:, :, 50:] == 0)
 
 
 @pytest.mark.slow
-def test_kernel_matches_model_head_no_dropout():
+@pytest.mark.parametrize("shared", [True, False])
+def test_kernel_matches_model_head_no_dropout(shared):
     """Kernel path == flax model head at dropout 0 (same weights via
-    GatedAttentionParams.from_model_params)."""
+    GatedAttentionParams.from_model_params), both gate modes."""
     key = jax.random.key(2)
-    model = MultiHeadGatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    model = MultiHeadGatedAttentionMIL(
+        feature_dropout=0.0, attention_dropout=0.0, shared_attention=shared
+    )
     N, L = 16, 512
     H = jax.random.normal(key, (N, L))
     mask = jnp.arange(N) < 12
@@ -67,10 +87,14 @@ def test_kernel_matches_model_head_no_dropout():
     y_k, a_k = mc_gated_attention_fused(
         H, mask, params, 2, jnp.asarray(0, jnp.int32), 0.0, 0.0, interpret=not ON_TPU
     )
+    # On hardware the flax head's einsums run at TPU default (bf16-input)
+    # matmul precision while the kernel is exact f32; at L=512 that puts
+    # ~7e-5 absolute (~8e-4 relative) noise on the flax side.  CPU is exact.
+    y_tol, a_tol = (1e-4, 1e-4) if ON_TPU else (1e-5, 1e-6)
     np.testing.assert_allclose(
-        np.asarray(y_k), np.asarray(out.predictions), atol=1e-5
+        np.asarray(y_k), np.asarray(out.predictions), atol=y_tol
     )
-    np.testing.assert_allclose(np.asarray(a_k), np.asarray(out.attention), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(out.attention), atol=a_tol)
 
 
 def test_kernel_rejects_unaligned_bucket():
@@ -84,13 +108,14 @@ def test_kernel_rejects_unaligned_bucket():
         )
 
 
-def test_kernel_gradient_parity_no_dropout():
+@pytest.mark.parametrize("separate", [False, True])
+def test_kernel_gradient_parity_no_dropout(separate):
     """Custom VJP == autodiff of the jnp twin at dropout 0, for gradients
     w.r.t. features AND every head parameter (the path mc_validate/training
-    takes with use_pallas)."""
+    takes with use_pallas), both gate modes."""
     key = jax.random.key(0)
     N, L, T = 64, 128, 3
-    params = _params(key, L=L)
+    params = _params(key, L=L, separate=separate)
     H = jax.random.normal(jax.random.key(1), (N, L))
     mask = jnp.arange(N) < 50
     dy = jax.random.normal(jax.random.key(2), (T, 2))
@@ -129,7 +154,8 @@ def test_kernel_gradient_parity_no_dropout():
 
 
 @pytest.mark.slow
-def test_mc_validate_use_pallas_matches_jnp_at_zero_dropout():
+@pytest.mark.parametrize("shared", [True, False])
+def test_mc_validate_use_pallas_matches_jnp_at_zero_dropout(shared):
     """mc_validate can take the fused-kernel path; at dropout 0 its losses
     equal the jnp path exactly (same math, no PRNG involved)."""
     from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
@@ -138,7 +164,7 @@ def test_mc_validate_use_pallas_matches_jnp_at_zero_dropout():
     from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
 
     model = MultiHeadGatedAttentionMIL(
-        feature_dropout=0.0, attention_dropout=0.0, shared_attention=True
+        feature_dropout=0.0, attention_dropout=0.0, shared_attention=shared
     )
     rng = np.random.default_rng(0)
     items = [
@@ -165,18 +191,21 @@ def test_mc_validate_use_pallas_matches_jnp_at_zero_dropout():
     loss_pallas = mc_validate(
         model, variables["params"], items, cross_entropy, use_pallas=True, **kw
     )
-    assert loss_pallas == pytest.approx(loss_jnp, abs=1e-5)
+    # On hardware the two paths take different MXU f32 matmul
+    # decompositions (see test_kernel_matches_reference_no_dropout).
+    assert loss_pallas == pytest.approx(loss_jnp, abs=1e-4 if ON_TPU else 1e-5)
 
 
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a TPU")
-def test_kernel_gradient_with_dropout_tpu():
+@pytest.mark.parametrize("separate", [False, True])
+def test_kernel_gradient_with_dropout_tpu(separate):
     """With dropout active, the backward kernel replays the forward's
     hardware-PRNG masks by re-seeding: the VJP must match a finite-difference
     directional derivative (masks are fixed by the seed, so the fused op is
     smooth in H) and be deterministic across calls."""
     key = jax.random.key(0)
     N, L, T = 64, 128, 4
-    params = _params(key, L=L)
+    params = _params(key, L=L, separate=separate)
     H = jax.random.normal(jax.random.key(1), (N, L))
     mask = jnp.arange(N) < 50
     v = jax.random.normal(jax.random.key(4), H.shape)
@@ -198,10 +227,11 @@ def test_kernel_gradient_with_dropout_tpu():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a TPU")
-def test_kernel_dropout_statistics_tpu():
+@pytest.mark.parametrize("separate", [False, True])
+def test_kernel_dropout_statistics_tpu(separate):
     key = jax.random.key(0)
     N, L, T = 64, 128, 2048
-    params = _params(key, L=L)
+    params = _params(key, L=L, separate=separate)
     H = jax.random.normal(jax.random.key(1), (N, L))
     mask = jnp.arange(N) < 50
     y_ref, a_ref = mc_head_reference(H, mask, params, T, key, 0.1, 0.1)

@@ -57,6 +57,30 @@ def test_predict_deterministic_per_seed_and_laterality_matters():
 
 
 @pytest.mark.slow
+def test_predict_integer_pixels_match_float():
+    """Raw integer pixels (the DICOM wire format) normalize on device by
+    pixel_max and agree with the pre-normalized float path; dtype max is
+    the default scale (``/root/reference/dataset.py:176-180``)."""
+    p = _predictor()
+    img = np.asarray(synthetic_image(128, 128, positive=True, seed=4))
+    raw12 = np.round(img * 4095).astype(np.uint16)  # 12-bit DICOM pixels
+    a = p.predict(raw12 / np.float32(4095.0), "L", seed=3)
+    b = p.predict(raw12, "L", seed=3, pixel_max=4095)
+    assert a.prediction == b.prediction
+    np.testing.assert_allclose(
+        np.asarray(a.stats.mean), np.asarray(b.stats.mean), atol=1e-5
+    )
+    raw8 = np.round(img * 255).astype(np.uint8)
+    c = p.predict(raw8, "L", seed=3)  # dtype-max default scale
+    d = p.predict(raw8 / np.float32(255.0), "L", seed=3)
+    assert c.prediction == d.prediction
+    # predict_many carries per-request pixel_max through both code paths
+    rs = p.predict_many([raw12, raw8], seeds=[3, 3], pixel_maxes=[4095, None])
+    assert rs[0].prediction == a.prediction
+    assert rs[1].prediction == c.prediction
+
+
+@pytest.mark.slow
 def test_predict_many_and_warmup():
     p = _predictor(num_samples=2)
     p.warmup()
