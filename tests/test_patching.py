@@ -126,3 +126,65 @@ def test_extract_bag_respects_bag_size():
     g = compute_tile_grid(256, 256, 64, 0.0)
     bag = extract_bag_on_device(img, g, bucket=16, empty_threshold=0.5, bag_size=5)
     assert int(bag.num_instances) == 5
+
+
+class TestDmaGather:
+    """Pallas DMA-ring tile gather vs the vmapped dynamic-slice form.
+
+    CPU runs the kernel in interpret mode (same-step copies); the pipelined
+    ring + 40x speedup are validated on hardware (docs/PERFORMANCE.md
+    §DMA gather, bit-exact equality asserted there too)."""
+
+    @pytest.mark.parametrize(
+        "h,w,p,overlap",
+        [
+            (703, 280, 224, 0.75),  # production-like: border remainders
+            (150, 150, 48, 0.5),    # multiple x phases
+            (128, 128, 64, 0.0),    # exact grid, no remainders
+        ],
+    )
+    def test_interpret_matches_vmap_gather(self, h, w, p, overlap):
+        from montecarlo_gated_mil_tpu.ops.patching import (
+            gather_remainders,
+            gather_tiles_dma,
+            pad_for_dma_gather,
+        )
+
+        grid = compute_tile_grid(h, w, p, overlap)
+        y_rems, x_rems = gather_remainders(grid)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((h, w), np.float32))
+        starts = jnp.asarray(grid.tiles_array()[:, :2])
+        want = gather_tiles(img[..., None], starts, p)[..., 0]
+        got = gather_tiles_dma(
+            pad_for_dma_gather(img, p), starts, p, y_rems, x_rems, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_remainder_phases_and_eligibility(self):
+        from montecarlo_gated_mil_tpu.ops.patching import (
+            _dma_gather_eligible,
+            gather_remainders,
+        )
+
+        grid = compute_tile_grid(7036, 2800, 224, 0.75)
+        y_rems, x_rems = gather_remainders(grid)
+        # stride 56: all starts are multiples of 56 except the border snap
+        assert set(y_rems) <= set(range(8)) and 0 in y_rems
+        assert all(x % 8 == 0 for x in x_rems)
+        assert _dma_gather_eligible(grid, 1)
+        assert not _dma_gather_eligible(grid, 3)
+        # a stride-19 grid hits every sublane phase: over the branch budget
+        dense = compute_tile_grid(300, 260, 48, 0.6)
+        assert not _dma_gather_eligible(dense, 1)
+
+    def test_gather_selected_falls_back_off_tpu(self):
+        from montecarlo_gated_mil_tpu.ops.patching import gather_selected
+
+        grid = compute_tile_grid(128, 128, 64, 0.0)
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((128, 128), np.float32))
+        starts = jnp.asarray(grid.tiles_array()[:, :2])
+        got = gather_selected(img, starts, 64, grid)  # vmap path on CPU
+        want = gather_tiles(img[..., None], starts, 64)[..., 0]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
