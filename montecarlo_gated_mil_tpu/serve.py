@@ -282,6 +282,10 @@ class MCDOPredictor:
         if len(seeds) != len(images):
             raise ValueError(f"{len(seeds)} seeds for {len(images)} images")
         pixel_maxes = pixel_maxes or [None] * len(images)
+        if len(pixel_maxes) != len(images):
+            raise ValueError(
+                f"{len(pixel_maxes)} pixel_maxes for {len(images)} images"
+            )
         if dp is None:
             dp = jax.device_count() > 1 and len(images) > 1
         if not dp:

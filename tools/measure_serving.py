@@ -57,24 +57,32 @@ def main(n: int = 30) -> None:
 
     rng = np.random.default_rng(0)
     imgs = [rng.random((H, W), np.float32) ** 2 for _ in range(4)]
+    # the DICOM wire format: 12-bit pixels in uint16 (2 bytes/px uploaded,
+    # normalized on device by pixel_max)
+    imgs16 = [np.round(im * 4095).astype(np.uint16) for im in imgs]
 
     t0 = time.perf_counter()
     predictor.predict(imgs[0])
     print(f"first request (compile): {time.perf_counter() - t0:.1f} s")
 
-    lat = []
-    for i in range(n):
-        t0 = time.perf_counter()
-        r = predictor.predict(imgs[i % len(imgs)], seed=i)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.array(lat) * 1e3
-    print(
-        f"warm predict() wall latency over {n}: "
-        f"p50 {np.percentile(lat_ms, 50):.1f} ms, "
-        f"p90 {np.percentile(lat_ms, 90):.1f} ms, "
-        f"min {lat_ms.min():.1f} ms"
-    )
-    print(f"sustained request throughput: {n / np.sum(lat):.1f} req/s")
+    for label, batch, kw in (
+        ("float32 in", imgs, {}),
+        ("uint16 in", imgs16, {"pixel_max": 4095}),
+    ):
+        predictor.predict(batch[0], **kw)  # compile the dtype variant
+        lat = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            predictor.predict(batch[i % len(batch)], seed=i, **kw)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.array(lat) * 1e3
+        print(
+            f"warm predict({label}) wall latency over {n}: "
+            f"p50 {np.percentile(lat_ms, 50):.1f} ms, "
+            f"p90 {np.percentile(lat_ms, 90):.1f} ms, "
+            f"min {lat_ms.min():.1f} ms; "
+            f"throughput {n / np.sum(lat):.1f} req/s"
+        )
 
     t0 = time.perf_counter()
     r = predictor.predict(imgs[0], return_maps=True)
