@@ -35,6 +35,7 @@ from montecarlo_gated_mil_tpu.ops.patching import (
     compute_tile_grid,
     gather_selected,
     gather_tiles,
+    sat_block_size,
     select_tiles,
     tile_fill_scores_sat,
 )
@@ -113,7 +114,9 @@ def image_to_bag(
     # selected bucket is ever gathered, single-channel.  RGB replication
     # happens in the final normalize broadcast (channels differ only by the
     # ImageNet affine).
-    scores = tile_fill_scores_sat(img, starts, cfg.patch_size)
+    scores = tile_fill_scores_sat(
+        img, starts, cfg.patch_size, block=sat_block_size(cfg.grid())
+    )
     idx, mask = select_tiles(scores, cfg.bucket, cfg.empty_threshold, cfg.bag_size)
     # (bucket, p, p, 1); on TPU the gather is the Pallas DMA-ring kernel
     # (ops/patching.py::gather_selected, 40x the XLA dynamic-slice form).
@@ -145,7 +148,9 @@ def count_valid_tiles(
     """Number of tiles a bag would keep (fill > threshold, capped at
     bag_size) — used to pick the smallest sufficient bucket per bag."""
     img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
-    scores = tile_fill_scores_sat(img, starts, cfg.patch_size)
+    scores = tile_fill_scores_sat(
+        img, starts, cfg.patch_size, block=sat_block_size(cfg.grid())
+    )
     n = jnp.sum((scores > cfg.empty_threshold * 100.0).astype(jnp.int32))
     if cfg.bag_size > 0:
         n = jnp.minimum(n, cfg.bag_size)

@@ -291,22 +291,56 @@ def tile_fill_scores(patches: jax.Array) -> jax.Array:
     return jnp.mean(nonzero, axis=(-2, -1)) * 100.0
 
 
+def sat_block_size(grid: "TileGrid") -> int:
+    """Largest block size that tiles every candidate start and the patch:
+    the gcd of all start coordinates and ``patch_size`` (56-stride
+    production grid with border snaps: 4).  Fill counts pre-reduced to
+    ``S x S`` blocks are exact at these starts, and the integral image then
+    runs on an ``S^2``-times smaller array (measured 2.6 -> 0.8 ms at the
+    production grid)."""
+    import math
+
+    g = grid.patch_size
+    for y, x, *_ in grid.tiles:
+        g = math.gcd(g, math.gcd(int(y), int(x)))
+        if g == 1:
+            break
+    return g
+
+
 def tile_fill_scores_sat(
-    image: jax.Array, starts: jax.Array, patch_size: int
+    image: jax.Array, starts: jax.Array, patch_size: int, block: int = 1
 ) -> jax.Array:
     """Same fill metric via a summed-area table — no tile materialization.
 
     Scoring K candidate tiles through :func:`gather_tiles` writes
     ``K * patch_size^2`` pixels (3.5 GB at the 7036x2800 production grid)
-    just to count nonzeros.  The integral image needs two cumsum sweeps of
-    the image and four corner gathers per tile; counts are exact (int32),
-    so scores are identical to the gathered path.  ``image``: ``(H, W)``.
+    just to count nonzeros.  The integral image needs two cumsum sweeps
+    and four corner gathers per tile; counts are exact (int32), so scores
+    are identical to the gathered path.  ``image``: ``(H, W)``.
+
+    ``block`` (static; from :func:`sat_block_size`) pre-reduces nonzero
+    counts to ``block x block`` sums with two 1-D ``reduce_window`` passes
+    before the cumsums — exact whenever ``block`` divides every start and
+    the patch size, and ~3x faster at production scale because the cumsum
+    sweeps run on the ``block^2``-times smaller array (a reshape-based
+    block reduction measured 4x *slower* — lane-regrouping relayout).
     """
     nz = (image > 0).astype(jnp.int32)
-    s = jnp.pad(jnp.cumsum(jnp.cumsum(nz, axis=0), axis=1), ((1, 0), (1, 0)))
-    y, x = starts[:, 0], starts[:, 1]
     p = patch_size
-    count = s[y + p, x + p] - s[y, x + p] - s[y + p, x] + s[y, x]
+    if block > 1:
+        if p % block:
+            raise ValueError(f"block {block} must divide patch_size {p}")
+        nz = jax.lax.reduce_window(
+            nz, 0, jax.lax.add, (1, block), (1, block), "valid"
+        )
+        nz = jax.lax.reduce_window(
+            nz, 0, jax.lax.add, (block, 1), (block, 1), "valid"
+        )
+    s = jnp.pad(jnp.cumsum(jnp.cumsum(nz, axis=0), axis=1), ((1, 0), (1, 0)))
+    y, x = starts[:, 0] // block, starts[:, 1] // block
+    pb = p // block
+    count = s[y + pb, x + pb] - s[y, x + pb] - s[y + pb, x] + s[y, x]
     return count.astype(jnp.float32) / (p * p) * 100.0
 
 
@@ -352,7 +386,10 @@ def _extract(
     bag_size: int,
     grid: "TileGrid | None" = None,
 ) -> Bag:
-    scores = tile_fill_scores_sat(image[..., 0], starts, patch_size)
+    scores = tile_fill_scores_sat(
+        image[..., 0], starts, patch_size,
+        block=sat_block_size(grid) if grid is not None else 1,
+    )
     idx, mask = select_tiles(scores, bucket, empty_threshold, bag_size)
     # Gather only the selected tiles' pixels (candidates are scored via the
     # integral image and never materialized).

@@ -188,3 +188,60 @@ class TestDmaGather:
         got = gather_selected(img, starts, 64, grid)  # vmap path on CPU
         want = gather_tiles(img[..., None], starts, 64)[..., 0]
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="pipelined DMA ring requires hardware (MCGMIL_TEST_TPU=1)",
+    )
+    def test_hardware_ring_matches_vmap_gather(self):
+        """The cross-step DMA ring (hardware-only; interpret uses same-step
+        copies) is bit-exact vs the vmap gather at the production grid."""
+        from montecarlo_gated_mil_tpu.ops.patching import gather_selected
+
+        grid = compute_tile_grid(7036, 2800, 224, 0.75)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(
+            rng.random((7036, 2800), np.float32) ** 2, jnp.bfloat16
+        )
+        starts = jnp.asarray(grid.tiles_array()[:, :2])[
+            jnp.asarray(rng.choice(grid.num_tiles, 256, replace=False))
+        ]
+        want = gather_tiles(img[..., None], starts, 224)[..., 0]
+        got = gather_selected(img, starts, 224, grid)
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(jnp.float32)),
+            np.asarray(want.astype(jnp.float32)),
+        )
+
+
+def test_blocked_sat_scores_match_plain():
+    """Blocked SAT (block = gcd of starts and patch) is exact; production
+    and border-snap geometries."""
+    from montecarlo_gated_mil_tpu.ops.patching import (
+        sat_block_size,
+        tile_fill_scores_sat,
+    )
+
+    for h, w, p, overlap in [(703, 280, 224, 0.75), (150, 150, 48, 0.5),
+                             (128, 128, 64, 0.0)]:
+        grid = compute_tile_grid(h, w, p, overlap)
+        block = sat_block_size(grid)
+        assert block >= 1 and p % block == 0
+        tiles = grid.tiles_array()
+        assert all(int(v) % block == 0 for v in tiles[:, 0])
+        assert all(int(v) % block == 0 for v in tiles[:, 1])
+        rng = np.random.default_rng(0)
+        img = jnp.asarray((rng.random((h, w)) > 0.4).astype(np.float32))
+        starts = jnp.asarray(tiles[:, :2])
+        plain = tile_fill_scores_sat(img, starts, p)
+        blocked = tile_fill_scores_sat(img, starts, p, block=block)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(blocked))
+
+
+def test_sat_block_size_production_grid():
+    from montecarlo_gated_mil_tpu.ops.patching import sat_block_size
+
+    # stride-56 grid with border snaps at 6812/2576: gcd collapses to 4
+    assert sat_block_size(compute_tile_grid(7036, 2800, 224, 0.75)) == 4
+    # no border snap: pure multiples of the stride
+    assert sat_block_size(compute_tile_grid(448, 448, 224, 0.5)) == 112
