@@ -81,6 +81,59 @@ def test_predict_integer_pixels_match_float():
 
 
 @pytest.mark.slow
+def test_adaptive_bucket_predictor_matches_fixed():
+    """With a BucketSpec, sparse requests embed at a smaller bucket and
+    predictions match the fixed-bucket predictor (padded slots contribute
+    exactly zero everywhere)."""
+    from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+
+    # dropout 0: mask draws are bucket-shaped, so only the deterministic
+    # path is bucket-invariant (stochastic paths are statistically
+    # equivalent but not comparable pointwise)
+    model = MultiHeadGatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    key = jax.random.key(0)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)), jnp.ones(4, bool),
+    )
+    pipeline = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+    fixed = MCDOPredictor(
+        model, variables["params"], pipeline, num_samples=3, use_pallas=False
+    )
+    adaptive = MCDOPredictor(
+        model, variables["params"], pipeline, num_samples=3,
+        use_pallas=False, bucket_spec=BucketSpec((2, 4, 8)),
+    )
+    # sparse: one bright patch -> few valid tiles -> small bucket
+    sparse = np.zeros((128, 128), np.float32)
+    sparse[:64, :64] = 0.8
+    a = adaptive.predict(sparse, seed=5)
+    b = fixed.predict(sparse, seed=5)
+    assert a.attention.mean.shape[1] < b.attention.mean.shape[1]
+    assert a.prediction == b.prediction
+    assert a.num_instances == b.num_instances
+    np.testing.assert_allclose(
+        np.asarray(a.stats.mean), np.asarray(b.stats.mean), atol=1e-5
+    )
+    # dense: every tile filled -> the exact-fit bucket (4 tiles -> 4)
+    dense = np.full((128, 128), 0.7, np.float32)
+    c = adaptive.predict(dense, seed=5)
+    d = fixed.predict(dense, seed=5)
+    assert c.num_instances == d.num_instances == 4
+    assert c.attention.mean.shape == (2, 4)  # vs fixed (2, 8)
+    assert c.prediction == d.prediction
+    np.testing.assert_allclose(
+        np.asarray(c.stats.mean), np.asarray(d.stats.mean), atol=1e-5
+    )
+    adaptive.warmup()  # compiles every registry bucket <= cap
+
+
+@pytest.mark.slow
 def test_predict_many_and_warmup():
     p = _predictor(num_samples=2)
     p.warmup()
