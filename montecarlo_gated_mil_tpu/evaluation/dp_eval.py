@@ -66,6 +66,13 @@ def mc_test_dp(
         for (_, orig_i), pred in zip(group, np.asarray(labels)[:n_real]):
             results[orig_i] = int(pred)
 
+    # Bound device-resident pending bags: with many registry buckets, each
+    # partial group could otherwise pin up to batch-1 production-scale bags
+    # (~300 MB each) simultaneously until end-of-stream.  When the total
+    # pending count exceeds the cap, the fullest partial group flushes
+    # early — a partially-padded SPMD batch costs some padded compute but
+    # keeps HBM residency bounded regardless of bucket count.
+    max_pending = 2 * batch
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         targets.append(int(bag.label))
@@ -74,6 +81,10 @@ def mc_test_dp(
         if len(group) == batch:
             flush(group)
             groups[bag.bucket] = []
+        elif sum(len(g) for g in groups.values()) > max_pending:
+            fullest = max(groups, key=lambda k: len(groups[k]))
+            flush(groups[fullest])
+            groups[fullest] = []
     for group in groups.values():
         if group:
             flush(group)

@@ -60,7 +60,7 @@ from montecarlo_gated_mil_tpu.train.state import (
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
-def _use_pallas(cfg: Config, model) -> bool:
+def _use_pallas(cfg: Config) -> bool:
     """Fused-kernel eligibility: enabled and on TPU (both gate modes —
     shared and separate per-class — have fused kernels)."""
     return cfg.tpu.use_pallas_attention and jax.default_backend() == "tpu"
@@ -89,7 +89,7 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
         )
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
-        metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
+        metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg),
         quantized=quantized,
     )
 
@@ -187,7 +187,7 @@ def _fit(
             val_loss = mc_validate(
                 model, state.params, data.val, criterion,
                 epoch=epoch, num_samples=cfg.N, key=val_key,
-                metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg, model),
+                metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg),
             )
         else:
             val_loss = validate(

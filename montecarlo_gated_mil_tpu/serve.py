@@ -93,6 +93,11 @@ class MCDOPredictor:
         self.num_samples = num_samples
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        elif use_pallas and jax.default_backend() != "tpu":
+            # The serving path runs the kernel compiled only (no interpret
+            # fallback like train/loops._allow_pallas): off-TPU it cannot
+            # honor use_pallas=True, so fall back to the jnp head.
+            use_pallas = False
         self.use_pallas = use_pallas
         self.quantized = quantized
         # With a BucketSpec, each request embeds at the smallest registry
@@ -227,23 +232,35 @@ class MCDOPredictor:
             dtype=cfg.tpu.compute_dtype,
         )
         kw.setdefault("num_samples", cfg.N)
-        kw.setdefault("use_pallas", cfg.tpu.use_pallas_attention or None)
+        # config True -> auto (kernel on TPU); config False -> forced off
+        kw.setdefault(
+            "use_pallas", None if cfg.tpu.use_pallas_attention else False
+        )
         kw.setdefault("quantized", cfg.tpu.quantized_inference)
         if len(cfg.tpu.buckets) > 1:
             kw.setdefault("bucket_spec", BucketSpec(cfg.tpu.buckets))
         return cls(build_model(cfg), params, pipeline, **kw)
 
-    def warmup(self) -> None:
-        """Trigger all compilations with a dummy request (with adaptive
-        buckets: one program per registry bucket up to the pipeline cap)."""
-        zero = np.zeros((self.pipeline.height, self.pipeline.width), np.float32)
-        self.predict(zero)
+    def warmup(self, dtypes=(np.float32, np.uint16)) -> None:
+        """Trigger all compilations with dummy requests: every registry
+        bucket (with adaptive buckets) x every expected input dtype — each
+        input dtype is a distinct XLA program, and a cold compile on the
+        first real DICOM-wire uint16 request would stall it for minutes on
+        this runtime."""
+        hw = (self.pipeline.height, self.pipeline.width)
+        buckets = [self.pipeline.bucket]
         if self.bucket_spec is not None:
-            flip = jnp.asarray(False)
-            seed = jnp.asarray(0, jnp.int32)
-            for b in self.bucket_spec.sizes:
-                if b <= self.pipeline.bucket:
-                    self._infer_for(b)(zero, flip, seed, np.float32(1.0))
+            buckets += [
+                b for b in self.bucket_spec.sizes if b <= self.pipeline.bucket
+            ]
+        flip = jnp.asarray(False)
+        seed = jnp.asarray(0, jnp.int32)
+        for dtype in dtypes:
+            zero, inv_max = _prepare_image(np.zeros(hw, dtype), None)
+            if self.bucket_spec is not None:
+                int(self._count(jax.device_put(zero), flip))
+            for b in set(buckets):
+                self._infer_for(b)(zero, flip, seed, inv_max)
 
     def predict(
         self,

@@ -34,6 +34,7 @@ import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import jax
 import numpy as np
 
 from montecarlo_gated_mil_tpu.core.config import Config
@@ -139,17 +140,17 @@ def serve_jsonl(
             requests.append((i, e))
 
     results: dict[int, dict] = {}
-    plain: list[tuple[int, dict, np.ndarray]] = []
+    plain: list[tuple[int, dict]] = []  # images loaded per chunk, not up front
     for i, req in requests:
         if isinstance(req, Exception):
             results[i] = {"error": f"bad request line: {req}"}
             continue
-        try:
-            img = _load_image(req["image"])
-        except (KeyError, OSError, ValueError) as e:
-            results[i] = {"error": str(e)}
-            continue
         if req.get("maps"):
+            try:
+                img = _load_image(req["image"])
+            except (KeyError, OSError, ValueError) as e:
+                results[i] = {"error": str(e)}
+                continue
             prefix = None
             if maps_dir is not None:
                 os.makedirs(maps_dir, exist_ok=True)
@@ -163,17 +164,30 @@ def serve_jsonl(
             )
             results[i] = result_to_dict(r, maps_prefix=prefix)
         else:
-            plain.append((i, req, img))
+            plain.append((i, req))
 
-    if plain:
-        rs = predictor.predict_many(
-            [img for _, _, img in plain],
-            [req.get("laterality", "L") for _, req, _ in plain],
-            seeds=[int(req.get("seed", 0)) for _, req, _ in plain],
-            pixel_maxes=[req.get("pixel_max") for _, req, _ in plain],
-        )
-        for (i, _, _), r in zip(plain, rs):
-            results[i] = result_to_dict(r)
+    # Map-free requests score through predict_many in bounded chunks: a
+    # production mammogram is ~80 MB on the host, so loading the whole
+    # batch up front (like predict_many's own per-group bag building
+    # avoids on device) would exhaust host RAM on long request lists.
+    chunk = max(16, jax.device_count())
+    for lo in range(0, len(plain), chunk):
+        part = plain[lo:lo + chunk]
+        loaded: list[tuple[int, dict, np.ndarray]] = []
+        for i, req in part:
+            try:
+                loaded.append((i, req, _load_image(req["image"])))
+            except (KeyError, OSError, ValueError) as e:
+                results[i] = {"error": str(e)}
+        if loaded:
+            rs = predictor.predict_many(
+                [img for _, _, img in loaded],
+                [req.get("laterality", "L") for _, req, _ in loaded],
+                seeds=[int(req.get("seed", 0)) for _, req, _ in loaded],
+                pixel_maxes=[req.get("pixel_max") for _, req, _ in loaded],
+            )
+            for (i, _, _), r in zip(loaded, rs):
+                results[i] = result_to_dict(r)
 
     n = 0
     for i in sorted(results):
@@ -186,6 +200,8 @@ def serve_jsonl(
 class _Handler(BaseHTTPRequestHandler):
     predictor: MCDOPredictor = None  # set by make_server
     lock: threading.Lock = None
+    maps_dir: str = None
+    counter = None  # itertools.count, set by make_server
 
     def log_message(self, *args):  # quiet by default
         pass
@@ -229,29 +245,55 @@ class _Handler(BaseHTTPRequestHandler):
         except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
             self._reply(400, {"error": str(e)})
             return
+        want_maps = bool(req.get("maps", False))
         with self.lock:
             r = self.predictor.predict(
                 img,
                 req.get("laterality", "L"),
                 seed=int(req.get("seed", 0)),
-                return_maps=bool(req.get("maps", False)),
+                return_maps=want_maps,
                 pixel_max=req.get("pixel_max"),
             )
-        self._reply(200, result_to_dict(r))
+            prefix = None
+            if want_maps:
+                # Maps are full-resolution (hundreds of MB at production
+                # size): always written as server-side .npy artifacts, never
+                # inlined into the JSON response.
+                os.makedirs(self.maps_dir, exist_ok=True)
+                prefix = os.path.join(
+                    self.maps_dir, f"request_{next(self.counter):05d}"
+                )
+        self._reply(200, result_to_dict(r, maps_prefix=prefix))
 
 
 def make_server(
-    predictor: MCDOPredictor, port: int, host: str = "127.0.0.1"
+    predictor: MCDOPredictor,
+    port: int,
+    host: str = "127.0.0.1",
+    maps_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """HTTP server wrapping a warm predictor (call ``serve_forever`` on it).
 
     Requests are serialized around the device with a lock: one chip runs one
     bag at a time anyway (bag-batching measured negative,
     docs/PERFORMANCE.md), so concurrency buys queueing, not throughput.
+    Attention maps requested via ``"maps": true`` are written to
+    ``maps_dir`` (default: a fresh temp directory) as ``.npy`` artifacts,
+    with the paths in the response.
     """
+    import itertools
+    import tempfile
+
+    if maps_dir is None:
+        maps_dir = tempfile.mkdtemp(prefix="mcgmil_maps_")
     handler = type(
         "Handler", (_Handler,),
-        {"predictor": predictor, "lock": threading.Lock()},
+        {
+            "predictor": predictor,
+            "lock": threading.Lock(),
+            "maps_dir": maps_dir,
+            "counter": itertools.count(),
+        },
     )
     return ThreadingHTTPServer((host, port), handler)
 
@@ -263,11 +305,12 @@ def run_server(
     port: int = 8000,
     host: str = "127.0.0.1",
     warmup: bool = True,
+    maps_dir: str | None = None,
 ) -> None:
     predictor = build_predictor(cfg, checkpoint)
     if warmup:
         predictor.warmup()
-    srv = make_server(predictor, port, host)
+    srv = make_server(predictor, port, host, maps_dir)
     print(f"serving on http://{host}:{port} (POST /predict, GET /healthz)")
     try:
         srv.serve_forever()

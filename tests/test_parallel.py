@@ -266,3 +266,42 @@ def test_mc_test_dp_mixed_buckets_matches_sequential():
     )
     assert acc_dp == acc_seq
     assert rep_dp == rep_seq
+
+
+@pytest.mark.slow
+def test_mc_test_dp_pending_cap_flushes_early_and_matches_sequential():
+    """With more registry buckets than the pending cap allows, partial
+    groups flush early (bounding device-resident bags) and predictions
+    still match the sequential path bag-for-bag."""
+    from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
+    from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
+    from montecarlo_gated_mil_tpu.train.loops import mc_test
+    from montecarlo_gated_mil_tpu.utils.metrics import MemorySink, Metrics
+
+    model = MultiHeadGatedAttentionMIL()
+    rng = np.random.default_rng(1)
+    items = []
+    # three buckets, seven bags each -> 21 pending > 2*batch(8)=16 without
+    # any group ever reaching the mesh batch size
+    for i in range(21):
+        n, bucket = [(4, 8), (10, 16), (18, 24)][i % 3]
+        patches = rng.normal(size=(n, 32, 32, 3)).astype(np.float32)
+        bag = pad_to_bucket(
+            patches, np.arange(n, dtype=np.int32), int(i % 2), bucket
+        )
+        items.append((bag, None))
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key}, items[0][0].patches, items[0][0].mask
+    )
+    tkey = jax.random.key(4)
+    acc_seq, rep_seq = mc_test(
+        model, variables["params"], items, num_samples=2, key=tkey,
+        metrics=Metrics([MemorySink()]),
+    )
+    acc_dp, rep_dp = mc_test_dp(
+        model, variables["params"], items, num_samples=2, key=tkey,
+        mesh=make_mesh(), metrics=Metrics([MemorySink()]),
+    )
+    assert acc_dp == acc_seq
+    assert rep_dp == rep_seq

@@ -137,6 +137,20 @@ def test_http_server(predictor):
         assert got["prediction"] == want.prediction
         np.testing.assert_allclose(got["p_mean"], float(want.stats.mean), atol=1e-5)
 
+        # maps over HTTP are written server-side as .npy artifacts (never
+        # inlined: full-res maps are hundreds of MB at production size)
+        req_m = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps(
+                {"image": np.asarray(img).tolist(), "maps": True}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req_m, timeout=120) as resp:
+            got_m = json.loads(resp.read())
+        assert got_m["attention_mean_maps"].endswith(".npy")
+        assert np.load(got_m["attention_mean_maps"]).shape == (2, 128, 128)
+
         # malformed request -> 400, server stays up
         bad = urllib.request.Request(
             f"http://127.0.0.1:{port}/predict", data=b'{"nope": 1}',
