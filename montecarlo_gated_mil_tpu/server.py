@@ -13,11 +13,12 @@ JSONL request line::
     {"image": "scan_001.npy", "laterality": "R", "seed": 3, "maps": false}
 
 ``image`` is a path to a ``(H, W)`` float array in [0, 1] (``.npy``).
-Requests without ``maps`` are grouped through ``predict_many`` — one SPMD
-dispatch per mesh-sized group when more than one device is available —
-while map requests take the single-bag path that also reconstructs
-full-resolution mean/std attention maps (saved as ``.npy`` next to the
-output, paths included in the result line).
+Requests without ``maps`` are grouped through ``predict_many`` in bounded
+chunks — one SPMD dispatch per mesh-sized group when more than one device
+is available — while map requests take the single-bag path that also
+reconstructs full-resolution mean/std attention maps.  Maps are written
+as ``.npy`` artifacts (paths in the result) in both modes; at production
+size they are hundreds of MB each and are never inlined over HTTP.
 
 HTTP mode (stdlib ``http.server``; one process, requests serialized around
 the device)::
