@@ -151,6 +151,13 @@ class TpuConfig:
     # Shard MC test evaluation over all devices (bags data-parallel); falls
     # back to the sequential path on a single device.
     data_parallel_eval: bool = True
+    # Shard TRAINING over all devices: bags group per bucket into mesh-sized
+    # batches and one SPMD step computes all per-bag gradients (a mesh batch
+    # of B bags counts as B grad-accumulation microbatches).  Off by
+    # default: the sequential bs=1 path is the reference-exact trajectory;
+    # this one is statistically equivalent (parallel/dp.py docstring).
+    # Falls back to sequential on a single device or multi-process runs.
+    data_parallel_train: bool = False
     # Loaders pick the smallest registry bucket per bag (sparse bags skip
     # padded embedding compute); data-parallel eval groups bags per bucket
     # before stacking, so this composes with sharded evaluation.
@@ -168,6 +175,16 @@ class TpuConfig:
             raise ValueError(f"buckets must be positive, got {self.buckets}")
         if list(self.buckets) != sorted(set(self.buckets)):
             raise ValueError(f"buckets must be strictly increasing, got {self.buckets}")
+        # The Pallas kernels (fused MC attention, DMA tile gather) require
+        # bucket sizes that are multiples of the 8-row sublane tile; catching
+        # it here fails a bad config at load time instead of deep inside the
+        # first kernel trace on TPU.
+        bad = [b for b in self.buckets if b % 8]
+        if bad:
+            raise ValueError(
+                f"buckets must be multiples of 8 (TPU sublane tiling; "
+                f"required by the Pallas attention kernel), got {bad}"
+            )
 
 
 @dataclass(frozen=True)

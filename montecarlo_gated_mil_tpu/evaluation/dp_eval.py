@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from montecarlo_gated_mil_tpu.parallel.dp import make_dp_mc_eval, pad_group_to_batch
+from montecarlo_gated_mil_tpu.parallel.dp import (
+    BucketBatcher,
+    make_dp_mc_eval,
+    pad_group_to_batch,
+)
 from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
@@ -36,10 +40,13 @@ def mc_test_dp(
     metrics: Metrics | None = None,
     fold: int | None = None,
     quantized: bool = False,
+    pending_budget_bytes: int = 1 << 31,
 ) -> tuple[float, str]:
     """Sharded equivalent of ``loops.mc_test`` (same reduction: argmax of
     MC-mean softmax, ``net_utils.py:207-210``).  ``quantized`` embeds
-    through the int8 PTQ path, matching the sequential loop's flag."""
+    through the int8 PTQ path, matching the sequential loop's flag.
+    ``pending_budget_bytes`` bounds device-resident partial groups (default
+    2 GiB; always at least one full mesh batch of the largest bag seen)."""
     from montecarlo_gated_mil_tpu.train.loops import _finish_test
 
     mesh = mesh or make_mesh()
@@ -53,7 +60,6 @@ def mc_test_dp(
 
     results: dict[int, int] = {}
     targets: list[int] = []
-    groups: dict[int, list] = {}  # bucket size -> [(bag, stream index)]
 
     def flush(group):
         stacked, keys, n_real = pad_group_to_batch(
@@ -66,27 +72,17 @@ def mc_test_dp(
         for (_, orig_i), pred in zip(group, np.asarray(labels)[:n_real]):
             results[orig_i] = int(pred)
 
-    # Bound device-resident pending bags: with many registry buckets, each
-    # partial group could otherwise pin up to batch-1 production-scale bags
-    # (~300 MB each) simultaneously until end-of-stream.  When the total
-    # pending count exceeds the cap, the fullest partial group flushes
-    # early — a partially-padded SPMD batch costs some padded compute but
-    # keeps HBM residency bounded regardless of bucket count.
-    max_pending = 2 * batch
+    # Grouping + pending-byte bounding policy lives in BucketBatcher (shared
+    # with data-parallel training): groups flush when full, and when total
+    # pending bytes exceed max(budget, one mesh batch of the largest bag)
+    # the byte-heaviest partial group flushes early.
+    batcher = BucketBatcher(batch, pending_budget_bytes)
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         targets.append(int(bag.label))
-        group = groups.setdefault(bag.bucket, [])
-        group.append((bag, i))
-        if len(group) == batch:
+        for group in batcher.add(bag, i):
             flush(group)
-            groups[bag.bucket] = []
-        elif sum(len(g) for g in groups.values()) > max_pending:
-            fullest = max(groups, key=lambda k: len(groups[k]))
-            flush(groups[fullest])
-            groups[fullest] = []
-    for group in groups.values():
-        if group:
-            flush(group)
+    for group in batcher.drain():
+        flush(group)
     preds_out = [results[i] for i in range(len(targets))]
     return _finish_test(targets, preds_out, metrics, fold)

@@ -47,10 +47,18 @@ class MaskedBatchStatsNorm(nn.Module):
     ``deactivate_batchnorm`` (``/root/reference/main.py:16-20``): no running
     stats, learned affine, eps 1e-5, biased variance. ``mask`` (over the
     leading instance axis) excludes padded instances from the statistics.
+
+    ``axis_name``: when the instance axis is sharded across chips under
+    ``shard_map`` (oversized-bag embed, the MIL analogue of sequence
+    parallelism — SURVEY.md §5 long-context), statistics reduce over the
+    named mesh axis with a ``psum`` of (masked sum, masked sum-of-squares,
+    valid count), so every shard normalizes with the *whole bag's* moments —
+    the reference's per-bag semantics, preserved across chips.
     """
 
     eps: float = 1e-5
     param_dtype: Any = jnp.float32
+    axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None) -> Array:
@@ -66,7 +74,23 @@ class MaskedBatchStatsNorm(nn.Module):
         # parity runs keep their precision).
         stats_dtype = jnp.promote_types(x.dtype, jnp.float32)
         xf = x.astype(stats_dtype)
-        if mask is None:
+        if self.axis_name is not None:
+            # Cross-shard moments: local masked sums, one fused psum.
+            if mask is None:
+                m = jnp.ones(xf.shape[:1] + (1,) * (xf.ndim - 1), stats_dtype)
+            else:
+                m = mask.astype(stats_dtype).reshape(
+                    mask.shape + (1,) * (x.ndim - mask.ndim)
+                )
+            n_valid = jnp.sum(m)
+            s1 = jnp.sum(xf * m, axis=red_axes)
+            s2 = jnp.sum(jnp.square(xf) * m, axis=red_axes)
+            s1, s2, n_valid = jax.lax.psum((s1, s2, n_valid), self.axis_name)
+            count = jnp.maximum(n_valid * (xf[0].size // c), 1.0)
+            mean = s1 / count
+            var = s2 / count - jnp.square(mean)
+            xf = xf * jnp.minimum(n_valid, 1.0)
+        elif mask is None:
             mean = jnp.mean(xf, axis=red_axes)
             var = jnp.mean(jnp.square(xf), axis=red_axes) - jnp.square(mean)
         else:
@@ -112,18 +136,19 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None) -> Array:
         residual = x
         y = _conv(self.features, 3, self.stride, 1, self.dtype, "conv1")(x)
-        y = MaskedBatchStatsNorm(name="bn1")(y, mask)
+        y = MaskedBatchStatsNorm(name="bn1", axis_name=self.bn_axis_name)(y, mask)
         y = nn.relu(y)
         y = _conv(self.features, 3, 1, 1, self.dtype, "conv2")(y)
-        y = MaskedBatchStatsNorm(name="bn2")(y, mask)
+        y = MaskedBatchStatsNorm(name="bn2", axis_name=self.bn_axis_name)(y, mask)
         if residual.shape != y.shape:
             residual = _conv(self.features, 1, self.stride, 0, self.dtype, "downsample_conv")(x)
-            residual = MaskedBatchStatsNorm(name="downsample_bn")(residual, mask)
+            residual = MaskedBatchStatsNorm(name="downsample_bn", axis_name=self.bn_axis_name)(residual, mask)
         return nn.relu(y + residual)
 
 
@@ -134,22 +159,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Any = jnp.float32
     expansion: int = 4
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None) -> Array:
         out_features = self.features * self.expansion
         residual = x
         y = _conv(self.features, 1, 1, 0, self.dtype, "conv1")(x)
-        y = MaskedBatchStatsNorm(name="bn1")(y, mask)
+        y = MaskedBatchStatsNorm(name="bn1", axis_name=self.bn_axis_name)(y, mask)
         y = nn.relu(y)
         y = _conv(self.features, 3, self.stride, 1, self.dtype, "conv2")(y)
-        y = MaskedBatchStatsNorm(name="bn2")(y, mask)
+        y = MaskedBatchStatsNorm(name="bn2", axis_name=self.bn_axis_name)(y, mask)
         y = nn.relu(y)
         y = _conv(out_features, 1, 1, 0, self.dtype, "conv3")(y)
-        y = MaskedBatchStatsNorm(name="bn3")(y, mask)
+        y = MaskedBatchStatsNorm(name="bn3", axis_name=self.bn_axis_name)(y, mask)
         if residual.shape != y.shape:
             residual = _conv(out_features, 1, self.stride, 0, self.dtype, "downsample_conv")(x)
-            residual = MaskedBatchStatsNorm(name="downsample_bn")(residual, mask)
+            residual = MaskedBatchStatsNorm(name="downsample_bn", axis_name=self.bn_axis_name)(residual, mask)
         return nn.relu(y + residual)
 
 
@@ -210,6 +236,9 @@ class ResNetFeatures(nn.Module):
     block_cls: type
     dtype: Any = jnp.float32
     space_to_depth: bool = False
+    # Named mesh axis the instance dimension is sharded over (inside
+    # shard_map): BN statistics then psum across shards.  None = local.
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, mask: Array | None = None) -> Array:
@@ -218,7 +247,7 @@ class ResNetFeatures(nn.Module):
             x = SpaceToDepthStem(dtype=self.dtype, name="conv1")(x)
         else:
             x = _conv(64, 7, 2, 3, self.dtype, "conv1")(x)
-        x = MaskedBatchStatsNorm(name="bn1")(x, mask)
+        x = MaskedBatchStatsNorm(name="bn1", axis_name=self.bn_axis_name)(x, mask)
         x = nn.relu(x)
         x = nn.max_pool(
             x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
@@ -230,6 +259,7 @@ class ResNetFeatures(nn.Module):
                     features=64 * 2**stage,
                     stride=stride,
                     dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
                     name=f"layer{stage + 1}_{block}",
                 )(x, mask)
         # Global average pool (torch AdaptiveAvgPool2d(1)); accumulate f32.
@@ -245,16 +275,21 @@ _CONFIGS: dict[str, tuple[Sequence[int], type]] = {
 
 
 def make_backbone(
-    name: str, dtype: Any = jnp.float32, space_to_depth: bool = False
+    name: str,
+    dtype: Any = jnp.float32,
+    space_to_depth: bool = False,
+    bn_axis_name: str | None = None,
 ) -> ResNetFeatures:
     """Backbone factory mirroring the reference's r18/r34/r50 switch
-    (``/root/reference/model.py:42-50``)."""
+    (``/root/reference/model.py:42-50``).  ``bn_axis_name`` builds the
+    instance-sharded variant (identical parameters; BN stats psum over the
+    named mesh axis) for oversized-bag embedding under ``shard_map``."""
     if name not in _CONFIGS:
         raise ValueError(f"backbone must be one of {sorted(_CONFIGS)}, got {name!r}")
     sizes, block = _CONFIGS[name]
     return ResNetFeatures(
         stage_sizes=sizes, block_cls=block, dtype=dtype,
-        space_to_depth=space_to_depth,
+        space_to_depth=space_to_depth, bn_axis_name=bn_axis_name,
     )
 
 

@@ -1,4 +1,5 @@
 from montecarlo_gated_mil_tpu.parallel.dp import (  # noqa: F401
+    BucketBatcher,
     make_dp_mc_eval,
     make_dp_train_step,
 )
@@ -9,6 +10,8 @@ from montecarlo_gated_mil_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
 )
 from montecarlo_gated_mil_tpu.parallel.instance import (  # noqa: F401
+    mc_inference_sharded,
+    sharded_embed,
     sharded_gated_attention,
     sharded_mc_gated_attention,
 )

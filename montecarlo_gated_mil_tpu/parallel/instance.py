@@ -30,6 +30,87 @@ Array = jax.Array
 _MASK_FILL = -1e30
 
 
+def sharded_embed(
+    model,
+    params,
+    patches: Array,
+    mask: Array,
+    mesh: Mesh,
+    axis: str = "inst",
+) -> Array:
+    """ResNet patch embedding with the instance axis sharded over ``axis``.
+
+    The oversized-bag path (SURVEY.md §5 long-context): when one bag's
+    instance count exceeds the largest bucket a single chip should embed
+    (the embed is ~98% of the FLOPs and the thing that overflows HBM),
+    shard the patches across chips.  Convolutions are per-instance, so each
+    shard embeds its slice independently; the one cross-instance coupling —
+    the reference's per-bag BatchNorm statistics
+    (``/root/reference/main.py:16-20``; masked over padding here) — reduces
+    across shards with a per-layer ``psum`` of (sum, sum-of-squares, valid
+    count) via ``MaskedBatchStatsNorm(axis_name=...)``, so every shard
+    normalizes with the whole bag's moments: features match the
+    single-device embed to float tolerance.
+
+    Args:
+      patches: ``(N, h, w, 3)``, N divisible by the ``axis`` size.
+      mask: ``(N,)`` validity.
+    Returns ``H (N, L)``, sharded on N.
+    """
+    from montecarlo_gated_mil_tpu.models.resnet import make_backbone
+
+    n = patches.shape[0]
+    size = mesh.shape[axis]
+    if n % size:
+        raise ValueError(f"instance count {n} not divisible by {axis}={size}")
+    backbone = make_backbone(
+        model.backbone,
+        dtype=model.dtype,
+        space_to_depth=getattr(model, "space_to_depth", False),
+        bn_axis_name=axis,
+    )
+
+    def block(p_blk: Array, m_blk: Array) -> Array:
+        return backbone.apply({"params": params["features"]}, p_blk, m_blk)
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(axis, None, None, None), P(axis)),
+        out_specs=P(axis, None),
+    )
+    return f(patches, mask)
+
+
+def mc_inference_sharded(
+    model,
+    params,
+    patches: Array,
+    mask: Array,
+    num_samples: int,
+    key: Array,
+    mesh: Mesh,
+    axis: str = "inst",
+) -> tuple[Array, Array]:
+    """Full oversized-bag MC inference: instance-sharded embed + instance-
+    sharded MC gated attention, one jittable composition.  Returns
+    ``(Y (T, C), A (T, C, N))``; dropout keys fold per shard (statistically
+    equivalent to the single-chip head, pinned by
+    tests/test_parallel.py::test_sharded_mc_statistically_equivalent...)."""
+    H = sharded_embed(model, params, patches, mask, mesh, axis)
+    return sharded_mc_gated_attention(
+        H,
+        mask,
+        GatedAttentionParams.from_model_params(params),
+        num_samples,
+        key,
+        mesh,
+        feature_dropout=model.feature_dropout,
+        attention_dropout=model.attention_dropout,
+        axis=axis,
+    )
+
+
 def sharded_gated_attention(
     H: Array,
     mask: Array,

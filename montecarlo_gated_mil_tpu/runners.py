@@ -160,9 +160,26 @@ def _fit(
     optimizer = build_optimizer(cfg)
     params = initial_params(cfg, model, params_key)
     state = TrainState.create(params, optimizer)
-    step_fn = make_train_step(
-        model, criterion, optimizer, cfg.training_plan.parameters.grad_acc_steps
+    # Data-parallel training (BASELINE config 4): one SPMD step per mesh-
+    # sized group of same-bucket bags.  Single-controller only (like
+    # _mc_test): under multi-process fold fan-out each process trains
+    # different folds, so a global mesh would issue mismatched programs.
+    use_dp = (
+        cfg.tpu.data_parallel_train
+        and jax.process_count() == 1
+        and jax.device_count() > 1
     )
+    if use_dp:
+        from montecarlo_gated_mil_tpu.parallel.dp import make_dp_train_step
+        from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
+        from montecarlo_gated_mil_tpu.train.loops import train_epoch_dp
+
+        mesh = make_mesh()
+        dp_step, dp_apply = make_dp_train_step(model, criterion, optimizer, mesh)
+    else:
+        step_fn = make_train_step(
+            model, criterion, optimizer, cfg.training_plan.parameters.grad_acc_steps
+        )
     stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
     val_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-val")
@@ -173,16 +190,30 @@ def _fit(
         start_epoch = int(meta["epoch"]) + 1
         print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
     for epoch in range(start_epoch, cfg.training_plan.parameters.epochs + 1):
-        state = train_epoch(
-            step_fn,
-            state,
-            data.train,
-            epoch=epoch,
-            accumulation_steps=cfg.training_plan.parameters.grad_acc_steps,
-            key=train_key,
-            metrics=metrics,
-            fold=fold,
-        )
+        if use_dp:
+            state = train_epoch_dp(
+                dp_step,
+                dp_apply,
+                state,
+                data.train,
+                mesh,
+                epoch=epoch,
+                accumulation_steps=cfg.training_plan.parameters.grad_acc_steps,
+                key=train_key,
+                metrics=metrics,
+                fold=fold,
+            )
+        else:
+            state = train_epoch(
+                step_fn,
+                state,
+                data.train,
+                epoch=epoch,
+                accumulation_steps=cfg.training_plan.parameters.grad_acc_steps,
+                key=train_key,
+                metrics=metrics,
+                fold=fold,
+            )
         if cfg.is_mcdo_val:
             val_loss = mc_validate(
                 model, state.params, data.val, criterion,
@@ -293,6 +324,39 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
     return manifest
 
 
+def load_cv_manifest(model_path: str, manifest_path: str | None = None) -> dict:
+    """Load the CV manifest, merging per-process manifests when present.
+
+    Multi-process fold fan-out writes ``cv_manifest_p{i}.json`` per process
+    (each holding the folds whose checkpoints live on that process);
+    re-evaluation needs every fold, so without an explicit path all
+    ``cv_manifest*.json`` files merge into one fold list (the reference's
+    equivalent store is the Neptune runs table holding all folds,
+    ``/root/reference/cross_val_eval.py:60-67,92``).
+    """
+    import glob
+
+    if manifest_path is not None:
+        with open(manifest_path) as f:
+            return json.load(f)
+    paths = sorted(glob.glob(os.path.join(model_path, "cv_manifest*.json")))
+    if not paths:
+        raise FileNotFoundError(f"no cv_manifest*.json under {model_path}")
+    merged: dict | None = None
+    for path in paths:
+        with open(path) as f:
+            part = json.load(f)
+        if merged is None:
+            merged = part
+        else:
+            merged["folds"] = merged.get("folds", []) + part.get("folds", [])
+            merged.setdefault("all_fold_accuracies", {}).update(
+                part.get("all_fold_accuracies", {})
+            )
+    merged["folds"] = sorted(merged["folds"], key=lambda e: e["fold"])
+    return merged
+
+
 def run_cv_eval(
     cfg: Config,
     manifest_path: str | None = None,
@@ -300,9 +364,7 @@ def run_cv_eval(
 ) -> dict:
     """Re-evaluate saved fold models: timed MC vs deterministic test."""
     metrics = metrics or Metrics()
-    manifest_path = manifest_path or os.path.join(cfg.model_path, "cv_manifest.json")
-    with open(manifest_path) as f:
-        manifest = json.load(f)
+    manifest = load_cv_manifest(cfg.model_path, manifest_path)
     model = build_model(cfg)
     ckpt = Checkpointer(cfg.model_path)
     params_like = init_params(

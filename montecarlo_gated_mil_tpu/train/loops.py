@@ -200,6 +200,91 @@ def train_epoch(
     return state
 
 
+def train_epoch_dp(
+    step_fn,
+    apply_pending,
+    state: TrainState,
+    loader: Iterable,
+    mesh,
+    *,
+    epoch: int,
+    accumulation_steps: int,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+    fold: int | None = None,
+) -> TrainState:
+    """One epoch of data-parallel training over the device mesh.
+
+    The SPMD twin of :func:`train_epoch` (BASELINE config 4; SURVEY.md §2
+    parallelism item 3 — the reference is single-GPU bs=1 and has no
+    counterpart): bags group per bucket into mesh-sized batches
+    (``parallel.dp.BucketBatcher``, same policy as sharded eval), partial
+    groups pad with zero-weight repeats, and one SPMD dispatch computes all
+    B per-bag gradients with the ICI all-reduce placed by XLA.
+
+    Per-bag dropout keys fold the bag's stream position exactly like the
+    sequential loop, so each bag sees the same dropout draw under either
+    path.  The optimizer updates once at least ``accumulation_steps`` real
+    bags have accumulated (a mesh batch of B bags == B reference
+    microbatches; effectively ``max(accumulation_steps, B)`` per update),
+    and any remainder applies at epoch end via ``apply_pending``.
+    """
+    from montecarlo_gated_mil_tpu.parallel.dp import (
+        BucketBatcher,
+        pad_group_to_batch,
+    )
+
+    batch = int(mesh.shape["data"])
+    running_loss = running_aux = correct = total = 0.0
+    pending = 0  # real bags accumulated since the last optimizer update
+    ekey = jax.random.fold_in(key, epoch)
+
+    def flush(group, state, pending):
+        bags = [b for b, _ in group]
+        keys = [jax.random.fold_in(ekey, i) for _, i in group]
+        stacked, keys, n_real = pad_group_to_batch(mesh, bags, keys)
+        weights = jnp.asarray(
+            [1.0] * n_real + [0.0] * (batch - n_real), jnp.float32
+        )
+        pending += n_real
+        do_update = pending >= accumulation_steps
+        state, out = step_fn(
+            state, stacked, keys, weights, jnp.asarray(do_update)
+        )
+        if do_update:
+            pending = 0
+        return state, pending, out
+
+    batcher = BucketBatcher(batch)
+    items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        for group in batcher.add(bag, i):
+            state, pending, out = flush(group, state, pending)
+            running_loss += float(out["loss_sum"])
+            running_aux += float(out["aux_sum"])
+            correct += float(out["correct_sum"])
+            total += float(out["count"])
+    for group in batcher.drain():
+        state, pending, out = flush(group, state, pending)
+        running_loss += float(out["loss_sum"])
+        running_aux += float(out["aux_sum"])
+        correct += float(out["correct_sum"])
+        total += float(out["count"])
+    if pending > 0:  # epoch-end flush (reference net_utils.py:55-57)
+        state = apply_pending(state)
+    if total == 0:
+        raise ValueError("empty training loader")
+    m = (metrics or Metrics([])).scoped(fold)
+    m.log("train/epoch_loss", running_loss / total, step=epoch)
+    m.log("train/epoch_acc", correct / total, step=epoch)
+    m.log("train/aux_loss", running_aux / total, step=epoch)
+    print(
+        f"Epoch {epoch} - Train Loss: {running_loss / total:.4f}, "
+        f"Accuracy: {correct / total:.4f} (dp x{batch})"
+    )
+    return state
+
+
 @functools.lru_cache(maxsize=8)
 def _plain_step(model, optimizer):
     import optax

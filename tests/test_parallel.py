@@ -47,7 +47,7 @@ def test_dp_train_step_runs_and_matches_single_device():
     )
     opt = optax.sgd(0.01)
     state = TrainState.create(variables["params"], opt)
-    step = make_dp_train_step(model, cross_entropy, opt, mesh)
+    step, apply_pending = make_dp_train_step(model, cross_entropy, opt, mesh)
     keys = jax.random.split(jax.random.key(1), 8)
     sharded = shard_batch(mesh, bags)
     # single-device reference BEFORE the step: the dp step donates its state
@@ -61,10 +61,67 @@ def test_dp_train_step_runs_and_matches_single_device():
             return cross_entropy(y[None], bag.label[None]) + aux
         return jnp.mean(jax.vmap(per_bag)(bags, keys))
     ref_loss = float(loss_fn(variables["params"]))
-    new_state, out = step(state, sharded, keys)
-    assert np.isfinite(float(out["loss"]))
+    weights = jnp.ones((8,), jnp.float32)
+    new_state, out = step(state, sharded, keys, weights, jnp.asarray(True))
+    loss = float(out["loss_sum"]) / float(out["count"])
+    assert np.isfinite(loss)
     assert int(new_state.step) == 1
-    assert float(out["loss"]) == pytest.approx(ref_loss, abs=1e-5)
+    assert int(new_state.acc_count) == 0  # update applied -> reset
+    assert loss == pytest.approx(ref_loss, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_dp_train_accumulate_then_apply_pending():
+    """do_update=False accumulates (no param change); apply_pending then
+    applies the mean accumulated gradient, and zero-weight padding slots
+    contribute nothing (a 4-real+4-pad batch == a 4-bag batch)."""
+    mesh = make_mesh()
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    bags = _batch(8)
+    variables = model.init(
+        {"params": key, "dropout": key}, bags.patches[0], bags.mask[0]
+    )
+    opt = optax.sgd(0.01)
+    step, apply_pending = make_dp_train_step(model, cross_entropy, opt, mesh)
+    keys = jax.random.split(jax.random.key(1), 8)
+    # pad slots 4..7 repeat bag 0 with weight 0
+    import jax.tree_util as jtu
+    padded = jtu.tree_map(
+        lambda x: jnp.concatenate([x[:4], jnp.repeat(x[:1], 4, 0)]), bags
+    )
+    w_padded = jnp.asarray([1.0] * 4 + [0.0] * 4)
+    # fresh param copies per state: the dp step donates its state buffers
+    # (donation is real on the CPU mesh), so reusing variables["params"]
+    # across steps would read deleted arrays
+    fresh = lambda: jax.tree.map(jnp.array, variables["params"])  # noqa: E731
+    p0 = np.asarray(jax.tree.leaves(variables["params"])[0]).copy()
+    state = TrainState.create(fresh(), opt)
+    st_hold, out = step(
+        state, shard_batch(mesh, padded), keys, w_padded, jnp.asarray(False)
+    )
+    assert int(st_hold.acc_count) == 4 and int(st_hold.step) == 0
+    # params unchanged while holding
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(st_hold.params)[0]), p0
+    )
+    st_applied = apply_pending(st_hold)
+    assert int(st_applied.step) == 1 and int(st_applied.acc_count) == 0
+
+    # reference: same 4 bags, full weights, immediate update
+    bags4 = jtu.tree_map(lambda x: x[:4], bags)
+    padded4 = jtu.tree_map(
+        lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], 4, 0)]), bags4
+    )
+    keys4 = jnp.concatenate([keys[:4], jnp.repeat(keys[3:4], 4, 0)])
+    state2 = TrainState.create(fresh(), opt)
+    st_ref, _ = step(
+        state2, shard_batch(mesh, padded4), keys4, w_padded, jnp.asarray(True)
+    )
+    for a, b in zip(
+        jax.tree.leaves(st_applied.params), jax.tree.leaves(st_ref.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_dp_mc_eval_sharded():
@@ -134,6 +191,159 @@ def test_instance_sharded_attention_matches_single_chip():
 
     with pytest.raises(ValueError, match="not divisible"):
         sharded_gated_attention(H[:60], mask[:60], params, mesh)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_bags", [8, 3])
+def test_train_epoch_dp_matches_sequential(n_bags):
+    """When the accumulation boundary aligns with the group (k == number of
+    bags: one update at epoch end), the dp epoch applies exactly the
+    sequential epoch's mean gradient — final params match to float
+    tolerance.  n_bags=3 exercises the padded partial group + the
+    apply_pending epoch-end flush."""
+    from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
+    from montecarlo_gated_mil_tpu.train.loops import train_epoch, train_epoch_dp
+    from montecarlo_gated_mil_tpu.train.state import make_train_step
+
+    model = MultiHeadGatedAttentionMIL()
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(n_bags):
+        patches = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
+        bag = pad_to_bucket(patches, np.arange(6, dtype=np.int32), int(i % 2), 8)
+        items.append((bag, None))
+    key0 = jax.random.key(0)
+    variables = model.init(
+        {"params": key0, "dropout": key0}, items[0][0].patches, items[0][0].mask
+    )
+    opt = optax.sgd(0.01)
+    kt = jax.random.key(5)
+
+    seq_state = TrainState.create(variables["params"], opt)
+    seq_step = make_train_step(model, cross_entropy, opt, n_bags)
+    seq_state = train_epoch(
+        seq_step, seq_state, items, epoch=1, accumulation_steps=n_bags, key=kt
+    )
+
+    mesh = make_mesh()
+    dp_step, dp_apply = make_dp_train_step(model, cross_entropy, opt, mesh)
+    dp_state = TrainState.create(variables["params"], opt)
+    dp_state = train_epoch_dp(
+        dp_step, dp_apply, dp_state, items, mesh,
+        epoch=1, accumulation_steps=n_bags, key=kt,
+    )
+    assert int(seq_state.step) == 1 and int(dp_state.step) == 1
+    for a, b in zip(
+        jax.tree.leaves(seq_state.params), jax.tree.leaves(dp_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_mc_statistically_equivalent_to_single_chip():
+    """``sharded_mc_gated_attention`` folds dropout keys per shard, so its
+    samples are NOT bitwise-reproducible against the unsharded head for the
+    same key — but the docstring's claim is statistical equivalence: with
+    enough samples the MC moments must agree within sampling error."""
+    from montecarlo_gated_mil_tpu.ops.gated_attention import (
+        GatedAttentionParams,
+        mc_head_reference,
+    )
+    from montecarlo_gated_mil_tpu.parallel.instance import (
+        sharded_mc_gated_attention,
+    )
+
+    mesh = make_mesh(data=1, inst=8)
+    key = jax.random.key(0)
+    N, L, D, C, T = 64, 128, 32, 2, 512
+    ks = jax.random.split(key, 8)
+    params = GatedAttentionParams(
+        w_V=jax.random.normal(ks[0], (L, D)) * 0.05,
+        b_V=jax.random.normal(ks[1], (D,)) * 0.05,
+        w_U=jax.random.normal(ks[2], (L, D)) * 0.05,
+        b_U=jax.random.normal(ks[3], (D,)) * 0.05,
+        w_att=jax.random.normal(ks[4], (D, C)) * 0.05,
+        b_att=jax.random.normal(ks[5], (C,)) * 0.05,
+        w_cls=jax.random.normal(ks[6], (C, L)) * 0.05,
+    )
+    H = jax.random.normal(ks[7], (N, L))
+    mask = jnp.arange(N) < 50
+    y_sh, a_sh = sharded_mc_gated_attention(
+        H, mask, params, T, jax.random.key(1), mesh,
+        feature_dropout=0.2, attention_dropout=0.2,
+    )
+    y_un, a_un = mc_head_reference(
+        H, mask, params, T, jax.random.key(2), 0.2, 0.2
+    )
+    y_sh, a_sh, y_un, a_un = map(np.asarray, (y_sh, a_sh, y_un, a_un))
+    # Logit means agree within combined standard error (6 sigma).
+    se = np.sqrt(y_sh.var(0) / T + y_un.var(0) / T)
+    assert np.all(np.abs(y_sh.mean(0) - y_un.mean(0)) < 6 * se + 1e-6)
+    # Logit stds agree to ~relative sampling error of a std estimate.
+    np.testing.assert_allclose(y_sh.std(0), y_un.std(0), rtol=0.35)
+    # Attention-weight MC means agree per slot (6 sigma, as above).
+    se_a = np.sqrt(a_sh.var(0) / T + a_un.var(0) / T)
+    assert np.all(np.abs(a_sh.mean(0) - a_un.mean(0)) < 6 * se_a + 1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_embed_matches_single_device():
+    """Instance-sharded ResNet embed (cross-shard masked BN statistics via
+    psum) reproduces the single-device features to <= 1e-5 for an N >
+    max-bucket bag, masked padding included (VERDICT r02 item 3)."""
+    from montecarlo_gated_mil_tpu.parallel.instance import (
+        mc_inference_sharded,
+        sharded_embed,
+    )
+
+    mesh = make_mesh(data=1, inst=8)
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    n, hw, n_valid = 16, 32, 13  # 2 instances per shard; last shard padded
+    patches = jax.random.normal(key, (n, hw, hw, 3))
+    mask = jnp.arange(n) < n_valid
+    patches = jnp.where(mask[:, None, None, None], patches, 0.0)
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+
+    h_single = model.apply(variables, patches, mask, method="embed")
+    h_sharded = sharded_embed(model, variables["params"], patches, mask, mesh)
+    assert h_sharded.shape == h_single.shape
+    # f32: psum vs local-sum reduction order drifts ~1e-4 through 18 BN
+    # layers (each divides by the slightly-different std)
+    np.testing.assert_allclose(
+        np.asarray(h_sharded), np.asarray(h_single), atol=3e-4, rtol=1e-2
+    )
+
+    # float64 pins the *math* to 1e-5 (the drift above is purely f32
+    # accumulation order, not a formula difference)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        model64 = MultiHeadGatedAttentionMIL(dtype=jnp.float64)
+        params64 = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float64),
+            variables["params"],
+        )
+        p64 = jnp.asarray(np.asarray(patches), jnp.float64)
+        h1 = model64.apply({"params": params64}, p64, mask, method="embed")
+        h8 = sharded_embed(model64, params64, p64, mask, mesh)
+        np.testing.assert_allclose(
+            np.asarray(h8), np.asarray(h1), atol=1e-5, rtol=1e-5
+        )
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    # jits as one program (embed + sharded MC head composition)
+    y, a = jax.jit(
+        lambda p, m, k: mc_inference_sharded(
+            model, variables["params"], p, m, 3, k, mesh
+        )
+    )(patches, mask, jax.random.key(1))
+    assert y.shape == (3, 2) and a.shape == (3, 2, n)
+    np.testing.assert_allclose(np.asarray(a.sum(-1)), 1.0, atol=1e-5)
+    assert np.asarray(a)[:, :, n_valid:].max() == 0.0
+
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_embed(model, variables["params"], patches[:10], mask[:10], mesh)
 
 
 @pytest.mark.slow
@@ -270,9 +480,9 @@ def test_mc_test_dp_mixed_buckets_matches_sequential():
 
 @pytest.mark.slow
 def test_mc_test_dp_pending_cap_flushes_early_and_matches_sequential():
-    """With more registry buckets than the pending cap allows, partial
-    groups flush early (bounding device-resident bags) and predictions
-    still match the sequential path bag-for-bag."""
+    """With a pending byte budget smaller than the stream, partial groups
+    flush early (bounding device-resident bytes) and predictions still
+    match the sequential path bag-for-bag."""
     from montecarlo_gated_mil_tpu.core.bag import pad_to_bucket
     from montecarlo_gated_mil_tpu.evaluation.dp_eval import mc_test_dp
     from montecarlo_gated_mil_tpu.train.loops import mc_test
@@ -302,6 +512,9 @@ def test_mc_test_dp_pending_cap_flushes_early_and_matches_sequential():
     acc_dp, rep_dp = mc_test_dp(
         model, variables["params"], items, num_samples=2, key=tkey,
         mesh=make_mesh(), metrics=Metrics([MemorySink()]),
+        # tiny budget -> the cap floors at one mesh batch of the largest
+        # bag; the 21-bag stream exceeds it and must flush early
+        pending_budget_bytes=1,
     )
     assert acc_dp == acc_seq
     assert rep_dp == rep_seq
