@@ -13,7 +13,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from montecarlo_gated_mil_tpu.bench import run_bench  # noqa: E402
+from montecarlo_gated_mil_tpu.bench import run_bench_both  # noqa: E402
 
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    print(json.dumps(run_bench_both()))

@@ -160,5 +160,19 @@ def run_bench(
     }
 
 
+def run_bench_both(cfg: Config | None = None, **kw) -> dict:
+    """Headline record carrying BOTH inference paths: ``value`` is the int8
+    PTQ serving default (when it differs), ``value_exact_bf16`` the exact
+    float path — so the recorded series stays unambiguous across rounds
+    (r01 measured exact, r02 int8; from r03 every record carries both)."""
+    kw.pop("quantized", None)
+    result = run_bench(cfg, **kw)
+    if "int8" in result["metric"]:
+        exact = run_bench(cfg, quantized=False, **kw)
+        result["value_exact_bf16"] = exact["value"]
+        result["vs_baseline_exact_bf16"] = exact["vs_baseline"]
+    return result
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    print(json.dumps(run_bench_both()))

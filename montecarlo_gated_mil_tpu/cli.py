@@ -43,6 +43,10 @@ def get_args_parser() -> argparse.ArgumentParser:
             "--config", type=str, required=True,
             help="path to .yml config file specifying datasets/training params",
         )
+        p.add_argument(
+            "--tensorboard", type=str, default=None, metavar="DIR",
+            help="also log metrics as TensorBoard event files under DIR",
+        )
         if name == "train":
             p.add_argument(
                 "--resume", action="store_true",
@@ -74,6 +78,11 @@ def get_args_parser() -> argparse.ArgumentParser:
             p.add_argument("--port", type=int, default=8000)
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--no-warmup", action="store_true")
+            p.add_argument(
+                "--data-root", type=str, default=None,
+                help="directory HTTP image_path requests may read from "
+                "(omitted: image_path requests are rejected in HTTP mode)",
+            )
     return parser
 
 
@@ -97,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
             cfg.tpu.process_id,
         )
     metrics = Metrics([StdoutSink()])
+    if args.tensorboard:
+        from montecarlo_gated_mil_tpu.utils.metrics import TensorBoardSink
+
+        metrics.sinks.append(TensorBoardSink(args.tensorboard))
     if cfg.neptune:
         try:
             import neptune
@@ -159,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
                 port=args.port,
                 host=args.host,
                 warmup=not args.no_warmup,
+                maps_dir=args.maps_dir,
+                data_root=args.data_root,
             )
     metrics.close()
     return 0

@@ -32,9 +32,11 @@ from montecarlo_gated_mil_tpu.core.bag import Bag, BucketSpec
 from montecarlo_gated_mil_tpu.data.records import BagRecord
 from montecarlo_gated_mil_tpu.ops.patching import (
     TileGrid,
+    _dma_gather_eligible,
     compute_tile_grid,
     gather_selected,
     gather_tiles,
+    pad_for_dma_gather,
     sat_block_size,
     select_tiles,
     tile_fill_scores_sat,
@@ -109,18 +111,28 @@ def image_to_bag(
     reference (tiling happens before transforms, ``dataset.py:68-71``).
     """
     img = canonicalize_image(image, flip_horizontal, (cfg.height, cfg.width))
+    # On the DMA-gather path, pad once up front and run BOTH the fill
+    # scoring and the gather on the padded image — the pad is zeros beyond
+    # every tile window, so SAT counts are unchanged, and the gather's own
+    # ~39 MB pad copy disappears from the hot path (round-2 ROADMAP item 2).
+    grid = cfg.grid()
+    dma = jax.default_backend() == "tpu" and _dma_gather_eligible(grid, 1)
+    if dma:
+        img = pad_for_dma_gather(img, cfg.patch_size)
     # Candidate tiles are scored via the integral image (exact, no tile
     # materialization — ops/patching.py::tile_fill_scores_sat); only the
     # selected bucket is ever gathered, single-channel.  RGB replication
     # happens in the final normalize broadcast (channels differ only by the
     # ImageNet affine).
     scores = tile_fill_scores_sat(
-        img, starts, cfg.patch_size, block=sat_block_size(cfg.grid())
+        img, starts, cfg.patch_size, block=sat_block_size(grid)
     )
     idx, mask = select_tiles(scores, cfg.bucket, cfg.empty_threshold, cfg.bag_size)
     # (bucket, p, p, 1); on TPU the gather is the Pallas DMA-ring kernel
     # (ops/patching.py::gather_selected, 40x the XLA dynamic-slice form).
-    patches = gather_selected(img, starts[idx], cfg.patch_size, cfg.grid())[..., None]
+    patches = gather_selected(
+        img, starts[idx], cfg.patch_size, grid, image_padded=dma
+    )[..., None]
     if cfg.augment:
         kh, kv = jax.random.split(key)
         flip_h = jax.random.bernoulli(kh, 0.5, (cfg.bucket,))
@@ -154,6 +166,64 @@ def count_valid_tiles(
     n = jnp.sum((scores > cfg.empty_threshold * 100.0).astype(jnp.int32))
     if cfg.bag_size > 0:
         n = jnp.minimum(n, cfg.bag_size)
+    return n
+
+
+def estimate_valid_tiles(
+    image: np.ndarray,
+    flip: bool,
+    starts: np.ndarray,
+    cfg: PipelineConfig,
+    *,
+    subsample: int = 4,
+    margin: float = 0.03,
+) -> int | None:
+    """Host-side conservative estimate of :func:`count_valid_tiles`.
+
+    Serving needs the per-request bucket *before* dispatching the jitted
+    program, and a device-side count costs a blocking scalar readback (~25 ms
+    tunnel RTT on this runtime).  This estimator reproduces the fill metric
+    on the host from a stride-``subsample`` pixel subsample (a summed-area
+    table over the subsampled nonzero map; ~5 ms at the 7036x2800 production
+    size vs ~200 ms for a full-resolution host pass), counting tiles whose
+    estimated fill exceeds ``empty_threshold - margin``.
+
+    The ``margin`` makes the estimate overshoot on borderline tiles, so the
+    chosen bucket is almost always >= the exact count's — and a rare
+    undershoot only truncates the *lowest-fill* tiles via ``select_tiles``'s
+    top-k (the same graceful mechanism as the reference's ``bag_size`` cap,
+    ``image_patcher.py:127-128``); it never corrupts kept tiles.
+
+    Returns None when ``image.shape`` differs from the pipeline size (the
+    canonical path would resize; the subsampled geometry no longer maps) —
+    callers then skip adaptivity instead of paying a device sync.
+    """
+    arr = np.asarray(image)
+    if arr.shape != (cfg.height, cfg.width):
+        return None
+    d = subsample
+    while cfg.patch_size % d:
+        d -= 1
+    # Mirror canonicalize_image's flip-then-translate on free numpy views:
+    # canonical pixel (y, x) is view[y, x] with the right edge zero-filled.
+    view = arr[:, ::-1] if flip else arr
+    view = view[:, BORDER_TRANSLATE_PX:]
+    nz = view[::d, ::d] != 0
+    sat = np.zeros((nz.shape[0] + 1, nz.shape[1] + 1), np.int32)
+    sat[1:, 1:] = nz.cumsum(0, dtype=np.int32).cumsum(1)
+    pb = cfg.patch_size // d
+    starts = np.asarray(starts)
+    y0 = np.minimum(np.round(starts[:, 0] / d).astype(np.int64), nz.shape[0])
+    x0 = np.minimum(np.round(starts[:, 1] / d).astype(np.int64), nz.shape[1])
+    # Clipping the window to the translated view is exact: the canonical
+    # image is zero there, so the truncated window holds the same count.
+    y1 = np.minimum(y0 + pb, nz.shape[0])
+    x1 = np.minimum(x0 + pb, nz.shape[1])
+    counts = sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+    fill = counts / float(pb * pb)
+    n = int(np.sum(fill > cfg.empty_threshold - margin))
+    if cfg.bag_size > 0:
+        n = min(n, cfg.bag_size)
     return n
 
 

@@ -7,5 +7,6 @@ from montecarlo_gated_mil_tpu.mcdo.sampling import (  # noqa: F401
     mc_head,
     mc_inference,
     mc_inference_serial,
+    mc_inference_single_head,
     predictive_stats,
 )

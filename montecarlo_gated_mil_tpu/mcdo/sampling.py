@@ -96,6 +96,7 @@ def mc_head(
     Y, A = jax.vmap(one_pass)(keys)  # (T, C), (T, C, N)
     aux = None
     if targets is not None:
+        _check_aux_classes(A)
         aux = model.aux_scale * auxiliary_loss(
             A[:, 1, :],
             A[:, 0, :],
@@ -104,6 +105,18 @@ def mc_head(
             margin=model.aux_margin,
         )
     return MCOutputs(predictions=Y, attention=A, aux_losses=aux)
+
+
+def _check_aux_classes(A: Array) -> None:
+    """The auxiliary separation loss contrasts the positive head (class 1)
+    against the negative head (class 0); on a model with any other head
+    count, indexing ``A[:, 1, :]`` would silently compute garbage (or grab
+    the wrong head), so reject targets outright."""
+    if A.shape[-2] != 2:
+        raise ValueError(
+            "aux loss (targets=...) requires exactly 2 class heads "
+            f"(pos/neg attention contrast); model produced {A.shape[-2]}"
+        )
 
 
 def mc_inference(
@@ -151,6 +164,7 @@ def mc_inference_serial(
     _, (Y, A) = jax.lax.scan(one_pass, None, jax.random.split(key, num_samples))
     aux = None
     if targets is not None:
+        _check_aux_classes(A)
         aux = model.aux_scale * auxiliary_loss(
             A[:, 1, :],
             A[:, 0, :],
@@ -159,6 +173,38 @@ def mc_inference_serial(
             margin=model.aux_margin,
         )
     return MCOutputs(predictions=Y, attention=A, aux_losses=aux)
+
+
+def mc_inference_single_head(
+    model,
+    variables,
+    patches: Array,
+    mask: Array | None,
+    num_samples: int,
+    key: Array,
+) -> MCOutputs:
+    """Single-head GA-MIL MC inference with the reference's own contract
+    (``/root/reference/model.py:87-130``): features once, then T stochastic
+    passes of the attention+classifier stage with **sigmoid applied inside**
+    — ``predictions`` are probabilities in [0, 1], unlike the multi-head
+    paths which return raw logits.  The reference's serial loop with manual
+    ``empty_cache`` becomes a ``lax.scan`` (one sample's intermediates live
+    at a time, on device, compiled once); there is no auxiliary loss on the
+    single-head model, so ``aux_losses`` is always None.
+
+    Returns ``predictions (T, num_classes)`` sigmoid probabilities and
+    ``attention (T, K, N)``.
+    """
+    H = model.apply(variables, patches, mask, method="embed")
+
+    def one_pass(_, k):
+        y, a = model.apply(
+            variables, H, mask, mc_dropout=True, method="head", rngs={"dropout": k}
+        )
+        return None, (jax.nn.sigmoid(y), a)
+
+    _, (Y, A) = jax.lax.scan(one_pass, None, jax.random.split(key, num_samples))
+    return MCOutputs(predictions=Y, attention=A, aux_losses=None)
 
 
 @jax.tree_util.register_dataclass

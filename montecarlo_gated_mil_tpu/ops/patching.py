@@ -200,11 +200,23 @@ def gather_tiles_dma(
                 dma(t, slot).wait()
             yr = starts_ref[t, 0] - (starts_ref[t, 0] // 8) * 8
             xr = starts_ref[t, 1] - (starts_ref[t, 1] // 128) * 128
+            matched = None
             for y0 in y_rems:
                 for x0 in x_rems:
-                    @pl.when((yr == y0) & (xr == x0))
+                    hit = (yr == y0) & (xr == x0)
+                    matched = hit if matched is None else (matched | hit)
+
+                    @pl.when(hit)
                     def _(y0=y0, x0=x0):
                         out_ref[0] = scratch[slot, y0:y0 + p, x0:x0 + p]
+
+            # A start whose phase is outside y_rems/x_rems (caller passed the
+            # wrong grid's phase sets) must not leak stale VMEM as "pixels":
+            # zero-fill makes the contract violation detectable.  The guard
+            # is a handful of scalar compares per tile — free next to the DMA.
+            @pl.when(jnp.logical_not(matched))
+            def _():
+                out_ref[0] = jnp.zeros_like(out_ref[0])
 
             if not interpret:
                 nt = t + nbuf
@@ -265,22 +277,30 @@ def _dma_gather_eligible(grid: "TileGrid", channels: int) -> bool:
 
 
 def gather_selected(
-    image: jax.Array, sel_starts: jax.Array, patch_size: int, grid: "TileGrid | None"
+    image: jax.Array,
+    sel_starts: jax.Array,
+    patch_size: int,
+    grid: "TileGrid | None",
+    *,
+    image_padded: bool = False,
 ) -> jax.Array:
     """Single-channel tile gather ``(H, W) -> (K, p, p)``, routed to the
     Pallas DMA-ring kernel on TPU (40x the XLA gather at production scale)
     when the grid's phase sets are known and bounded; the vmapped
-    dynamic-slice everywhere else."""
+    dynamic-slice everywhere else.  ``image_padded=True`` promises the
+    caller already applied :func:`pad_for_dma_gather` (hoisting the ~39 MB
+    pad copy out of the hot path; extra zero rows/cols are harmless to the
+    fallback gather since every tile window lies within the original
+    bounds)."""
     if (
         grid is not None
         and jax.default_backend() == "tpu"
         and _dma_gather_eligible(grid, 1)
     ):
         y_rems, x_rems = gather_remainders(grid)
-        return gather_tiles_dma(
-            pad_for_dma_gather(image, patch_size), sel_starts, patch_size,
-            y_rems, x_rems,
-        )
+        if not image_padded:
+            image = pad_for_dma_gather(image, patch_size)
+        return gather_tiles_dma(image, sel_starts, patch_size, y_rems, x_rems)
     return gather_tiles(image[..., None], sel_starts, patch_size)[..., 0]
 
 

@@ -103,8 +103,10 @@ class MCDOPredictor:
         # With a BucketSpec, each request embeds at the smallest registry
         # bucket that fits its valid-tile count (the serving analogue of
         # BagLoader's adaptive buckets; sparse mammograms skip most of the
-        # padded embed compute — measured 10.5x for 100-tile bags).  One
-        # cheap counting pass picks the program; pipeline.bucket caps it.
+        # padded embed compute — measured 10.5x for 100-tile bags).  The
+        # bucket is picked by a host-side subsampled fill estimate
+        # (pipeline.estimate_valid_tiles) so the request path has NO
+        # blocking device readback; pipeline.bucket caps it.
         self.bucket_spec = bucket_spec
         self._grid = pipeline.grid()
         self._starts = jnp.asarray(self._grid.tiles_array()[:, :2])
@@ -123,20 +125,24 @@ class MCDOPredictor:
 
         self._infers: dict[int, object] = {}
         self._bag_fn = self._build_bag_fn()  # built once: predict_many stays warm
+        self._starts_np = self._grid.tiles_array()[:, :2]
 
-        if bucket_spec is not None:
-            from montecarlo_gated_mil_tpu.data.pipeline import count_valid_tiles
+    def _pick_bucket(self, arr, laterality: str) -> int:
+        """Smallest sufficient registry bucket for a request, from the
+        host-side subsampled fill estimate — no device work, no readback
+        (the round-2 request path paid a full device canonicalize+SAT pass
+        plus a blocking ~25 ms scalar sync here).  Off-size images (the
+        resize path) and spec-less predictors use the full bucket."""
+        if self.bucket_spec is None:
+            return self.pipeline.bucket
+        from montecarlo_gated_mil_tpu.data.pipeline import estimate_valid_tiles
 
-            @jax.jit
-            def _count(image, flip):
-                # Valid-tile count on raw pixels: the fill metric only asks
-                # whether pixels are nonzero, which any positive pixel_max
-                # scaling preserves — no normalization needed here.
-                return count_valid_tiles(
-                    image.astype(jnp.float32), flip, self._starts, self.pipeline
-                )
-
-            self._count = _count
+        n = estimate_valid_tiles(
+            arr, laterality == "R", self._starts_np, self.pipeline
+        )
+        if n is None:
+            return self.pipeline.bucket
+        return min(self.bucket_spec.bucket_for(n), self.pipeline.bucket)
 
     def _infer_for(self, bucket: int):
         """The jitted end-to-end request program for one bag bucket."""
@@ -257,8 +263,6 @@ class MCDOPredictor:
         seed = jnp.asarray(0, jnp.int32)
         for dtype in dtypes:
             zero, inv_max = _prepare_image(np.zeros(hw, dtype), None)
-            if self.bucket_spec is not None:
-                int(self._count(jax.device_put(zero), flip))
             for b in set(buckets):
                 self._infer_for(b)(zero, flip, seed, inv_max)
 
@@ -281,11 +285,7 @@ class MCDOPredictor:
         """
         arr, inv_max = _prepare_image(image, pixel_max)
         flip = jnp.asarray(laterality == "R")
-        bucket = self.pipeline.bucket
-        if self.bucket_spec is not None:
-            arr = jax.device_put(arr)  # ship once; count + infer share it
-            n = int(self._count(arr, flip))
-            bucket = min(self.bucket_spec.bucket_for(n), bucket)
+        bucket = self._pick_bucket(arr, laterality)
         bag, y, a = self._infer_for(bucket)(
             arr,
             flip,

@@ -129,6 +129,11 @@ def serve_jsonl(
     mesh when available); map requests run per-bag.  Returns the number of
     results written.  A malformed line produces an ``{"error": ...}`` line
     at its position instead of aborting the batch.
+
+    Requests are processed strictly in stream order and every finished
+    result is flushed to ``out_stream`` as soon as its turn comes — a crash
+    or OOM mid-batch loses at most the current in-flight chunk, not the
+    whole run (the reason the batch is chunked in the first place).
     """
     requests: list[tuple[int, dict] | tuple[int, Exception]] = []
     for i, line in enumerate(in_stream):
@@ -140,42 +145,28 @@ def serve_jsonl(
         except json.JSONDecodeError as e:
             requests.append((i, e))
 
-    results: dict[int, dict] = {}
-    plain: list[tuple[int, dict]] = []  # images loaded per chunk, not up front
-    for i, req in requests:
-        if isinstance(req, Exception):
-            results[i] = {"error": f"bad request line: {req}"}
-            continue
-        if req.get("maps"):
-            try:
-                img = _load_image(req["image"])
-            except (KeyError, OSError, ValueError) as e:
-                results[i] = {"error": str(e)}
-                continue
-            prefix = None
-            if maps_dir is not None:
-                os.makedirs(maps_dir, exist_ok=True)
-                prefix = os.path.join(maps_dir, f"request_{i:05d}")
-            r = predictor.predict(
-                img,
-                req.get("laterality", "L"),
-                seed=int(req.get("seed", 0)),
-                return_maps=True,
-                pixel_max=req.get("pixel_max"),
-            )
-            results[i] = result_to_dict(r, maps_prefix=prefix)
-        else:
-            plain.append((i, req))
+    n = 0
+
+    def emit(record: dict) -> None:
+        nonlocal n
+        out_stream.write(json.dumps(record) + "\n")
+        n += 1
 
     # Map-free requests score through predict_many in bounded chunks: a
     # production mammogram is ~80 MB on the host, so loading the whole
     # batch up front (like predict_many's own per-group bag building
     # avoids on device) would exhaust host RAM on long request lists.
+    # A chunk's results land in a dict keyed by position, then flush in
+    # order before the next chunk starts.
     chunk = max(16, jax.device_count())
-    for lo in range(0, len(plain), chunk):
-        part = plain[lo:lo + chunk]
+    pending: list[tuple[int, dict]] = []
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        results: dict[int, dict] = {}
         loaded: list[tuple[int, dict, np.ndarray]] = []
-        for i, req in part:
+        for i, req in pending:
             try:
                 loaded.append((i, req, _load_image(req["image"])))
             except (KeyError, OSError, ValueError) as e:
@@ -189,11 +180,41 @@ def serve_jsonl(
             )
             for (i, _, _), r in zip(loaded, rs):
                 results[i] = result_to_dict(r)
+        for i in sorted(results):
+            emit(results[i])
+        out_stream.flush()
+        pending.clear()
 
-    n = 0
-    for i in sorted(results):
-        out_stream.write(json.dumps(results[i]) + "\n")
-        n += 1
+    for i, req in requests:
+        if isinstance(req, Exception):
+            flush_pending()  # keep output in stream order
+            emit({"error": f"bad request line: {req}"})
+            continue
+        if req.get("maps"):
+            flush_pending()
+            try:
+                img = _load_image(req["image"])
+            except (KeyError, OSError, ValueError) as e:
+                emit({"error": str(e)})
+                continue
+            prefix = None
+            if maps_dir is not None:
+                os.makedirs(maps_dir, exist_ok=True)
+                prefix = os.path.join(maps_dir, f"request_{i:05d}")
+            r = predictor.predict(
+                img,
+                req.get("laterality", "L"),
+                seed=int(req.get("seed", 0)),
+                return_maps=True,
+                pixel_max=req.get("pixel_max"),
+            )
+            emit(result_to_dict(r, maps_prefix=prefix))
+            out_stream.flush()
+        else:
+            pending.append((i, req))
+            if len(pending) >= chunk:
+                flush_pending()
+    flush_pending()
     out_stream.flush()
     return n
 
@@ -203,6 +224,7 @@ class _Handler(BaseHTTPRequestHandler):
     lock: threading.Lock = None
     maps_dir: str = None
     counter = None  # itertools.count, set by make_server
+    data_root: str = None  # image_path requests allowed only under this root
 
     def log_message(self, *args):  # quiet by default
         pass
@@ -242,29 +264,56 @@ class _Handler(BaseHTTPRequestHandler):
                 if img.ndim != 2:
                     raise ValueError(f"expected 2-D image, got {img.shape}")
             else:
-                img = _load_image(req["image_path"])
-        except (KeyError, ValueError, json.JSONDecodeError, OSError) as e:
+                # Trust model: HTTP clients may only reference files under
+                # the configured data root — an unrestricted np.load of a
+                # client-supplied path would be an arbitrary-file-read/probe
+                # vector on the production entry point.  (The offline JSONL
+                # mode keeps free-path access: its request file is operator-
+                # supplied, not network input.)
+                if self.data_root is None:
+                    raise ValueError(
+                        "image_path requests are disabled: start the server "
+                        "with a data root (cli: serve --data-root DIR) or "
+                        "send inline pixel data"
+                    )
+                path = os.path.realpath(str(req["image_path"]))
+                root = os.path.realpath(self.data_root)
+                if os.path.commonpath([path, root]) != root:
+                    raise ValueError("image_path outside the configured data root")
+                img = _load_image(path)
+            pixel_max = req.get("pixel_max")
+            if pixel_max is not None and not isinstance(
+                pixel_max, (int, float)
+            ):
+                raise ValueError(f"pixel_max must be a number, got {pixel_max!r}")
+            seed = int(req.get("seed", 0))
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError, OSError) as e:
             self._reply(400, {"error": str(e)})
             return
         want_maps = bool(req.get("maps", False))
-        with self.lock:
-            r = self.predictor.predict(
-                img,
-                req.get("laterality", "L"),
-                seed=int(req.get("seed", 0)),
-                return_maps=want_maps,
-                pixel_max=req.get("pixel_max"),
-            )
-            prefix = None
-            if want_maps:
-                # Maps are full-resolution (hundreds of MB at production
-                # size): always written as server-side .npy artifacts, never
-                # inlined into the JSON response.
-                os.makedirs(self.maps_dir, exist_ok=True)
-                prefix = os.path.join(
-                    self.maps_dir, f"request_{next(self.counter):05d}"
+        try:
+            with self.lock:
+                r = self.predictor.predict(
+                    img,
+                    req.get("laterality", "L"),
+                    seed=seed,
+                    return_maps=want_maps,
+                    pixel_max=pixel_max,
                 )
-        self._reply(200, result_to_dict(r, maps_prefix=prefix))
+                prefix = None
+                if want_maps:
+                    # Maps are full-resolution (hundreds of MB at production
+                    # size): always written as server-side .npy artifacts,
+                    # never inlined into the JSON response.
+                    os.makedirs(self.maps_dir, exist_ok=True)
+                    prefix = os.path.join(
+                        self.maps_dir, f"request_{next(self.counter):05d}"
+                    )
+            payload = result_to_dict(r, maps_prefix=prefix)
+        except Exception as e:  # noqa: BLE001 — client gets JSON, not a dropped socket
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._reply(200, payload)
 
 
 def make_server(
@@ -272,6 +321,7 @@ def make_server(
     port: int,
     host: str = "127.0.0.1",
     maps_dir: str | None = None,
+    data_root: str | None = None,
 ) -> ThreadingHTTPServer:
     """HTTP server wrapping a warm predictor (call ``serve_forever`` on it).
 
@@ -280,7 +330,9 @@ def make_server(
     docs/PERFORMANCE.md), so concurrency buys queueing, not throughput.
     Attention maps requested via ``"maps": true`` are written to
     ``maps_dir`` (default: a fresh temp directory) as ``.npy`` artifacts,
-    with the paths in the response.
+    with the paths in the response.  ``data_root`` confines ``image_path``
+    requests to files under that directory; without it they are rejected
+    (inline ``image`` pixel data always works).
     """
     import itertools
     import tempfile
@@ -294,6 +346,7 @@ def make_server(
             "lock": threading.Lock(),
             "maps_dir": maps_dir,
             "counter": itertools.count(),
+            "data_root": data_root,
         },
     )
     return ThreadingHTTPServer((host, port), handler)
@@ -307,11 +360,12 @@ def run_server(
     host: str = "127.0.0.1",
     warmup: bool = True,
     maps_dir: str | None = None,
+    data_root: str | None = None,
 ) -> None:
     predictor = build_predictor(cfg, checkpoint)
     if warmup:
         predictor.warmup()
-    srv = make_server(predictor, port, host, maps_dir)
+    srv = make_server(predictor, port, host, maps_dir, data_root)
     print(f"serving on http://{host}:{port} (POST /predict, GET /healthz)")
     try:
         srv.serve_forever()

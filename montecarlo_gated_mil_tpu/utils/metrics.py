@@ -67,6 +67,32 @@ class MemorySink:
         pass
 
 
+class TensorBoardSink:
+    """TensorBoard event files via ``torch.utils.tensorboard`` (SURVEY.md §5
+    recommends stdout/JSONL/TensorBoard sinks; the reference itself only has
+    Neptune).  Scalars go to ``add_scalar`` with an internally-tracked step
+    when none is given; everything else (classification reports, paths) to
+    ``add_text``."""
+
+    def __init__(self, log_dir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self.writer = SummaryWriter(log_dir=log_dir)
+        self._auto_step: dict[str, int] = {}
+
+    def log(self, name, value, step=None):
+        if step is None:
+            step = self._auto_step.get(name, 0)
+            self._auto_step[name] = step + 1
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            self.writer.add_scalar(name, value, global_step=step)
+        else:
+            self.writer.add_text(name, str(value), global_step=step)
+
+    def close(self):
+        self.writer.close()
+
+
 class NeptuneSink:
     """Best-effort Neptune passthrough (reference: ``neptune_run[k].log(v)``)."""
 

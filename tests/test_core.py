@@ -50,6 +50,7 @@ def test_config_roundtrip_and_defaults():
         ({"data": {"cv_folds": 1}}, "cv_folds"),
         ({"training_plan": {"criterion": "mse"}}, "criterion"),
         ({"tpu": {"buckets": [64, 32]}}, "increasing"),
+        ({"tpu": {"buckets": [50, 100]}}, "multiples of 8"),
     ],
 )
 def test_config_validation_errors(raw, msg):

@@ -71,6 +71,48 @@ def test_mc_head_matches_mc_inference():
     )
 
 
+def test_mc_head_rejects_targets_on_non_binary_model():
+    """The aux branch indexes A[:, 1, :] (pos head); anything but a 2-class
+    model must be rejected instead of silently contrasting wrong heads."""
+    from montecarlo_gated_mil_tpu.mcdo import mc_inference_serial
+
+    key = jax.random.key(0)
+    model = MultiHeadGatedAttentionMIL(num_classes=3)
+    patches = jax.random.normal(key, (8, 32, 32, 3))
+    mask = jnp.ones(8, bool)
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    H = model.apply(variables, patches, mask, method="embed")
+    with pytest.raises(ValueError, match="2 class heads"):
+        mc_head(model, variables, H, mask, 2, key, targets=jnp.asarray(1))
+    with pytest.raises(ValueError, match="2 class heads"):
+        mc_inference_serial(
+            model, variables, patches, mask, 2, key, targets=jnp.asarray(1)
+        )
+
+
+def test_mc_inference_single_head_stochastic():
+    """With dropout active the single-head MC samples are distinct sigmoid
+    probabilities, deterministic per key."""
+    from montecarlo_gated_mil_tpu.mcdo import mc_inference_single_head
+    from montecarlo_gated_mil_tpu.models import GatedAttentionMIL
+
+    key = jax.random.key(0)
+    model = GatedAttentionMIL()
+    patches = jax.random.normal(key, (8, 32, 32, 3))
+    mask = jnp.arange(8) < 6
+    variables = model.init({"params": key, "dropout": key}, patches, mask)
+    a = mc_inference_single_head(model, variables, patches, mask, 5, jax.random.key(3))
+    b = mc_inference_single_head(model, variables, patches, mask, 5, jax.random.key(3))
+    np.testing.assert_array_equal(np.asarray(a.predictions), np.asarray(b.predictions))
+    preds = np.asarray(a.predictions)
+    assert preds.shape == (5, 1)
+    assert np.all((preds >= 0.0) & (preds <= 1.0))  # sigmoid inside
+    assert len({float(p) for p in preds[:, 0]}) == 5  # samples distinct
+    att = np.asarray(a.attention)
+    np.testing.assert_allclose(att.sum(-1), 1.0, atol=1e-5)
+    assert np.all(att[:, :, 6:] == 0)
+
+
 def test_predictive_stats_formulas():
     rng = np.random.default_rng(0)
     logits = rng.normal(size=(30, 2)).astype(np.float32)

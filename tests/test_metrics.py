@@ -39,3 +39,18 @@ def test_metrics_fold_prefix_and_fanout():
     m.log("val/epoch_acc", 0.75, step=1)
     assert a.records == [("2/val/epoch_acc", 0.75, 1)]
     assert b.records == a.records
+
+
+def test_tensorboard_sink_writes_events(tmp_path):
+    """Scalars and text land in a TensorBoard event file (SURVEY.md §5)."""
+    from montecarlo_gated_mil_tpu.utils.metrics import TensorBoardSink
+
+    sink = TensorBoardSink(str(tmp_path))
+    sink.log("train/epoch_loss", 0.5, step=1)
+    sink.log("train/epoch_loss", 0.4, step=2)
+    sink.log("test/accuracy", 0.9)  # step-less scalar: auto-stepped
+    sink.log("test/accuracy", 0.95)
+    sink.log("best_model_path", "/tmp/x")  # non-numeric -> text
+    sink.close()
+    events = list(tmp_path.glob("events.out.tfevents.*"))
+    assert events and events[0].stat().st_size > 0

@@ -147,6 +147,38 @@ def test_singlehead_forward_parity():
     np.testing.assert_allclose(np.asarray(a), a_ref.numpy(), atol=1e-5, rtol=1e-4)
 
 
+def test_singlehead_mc_inference_parity():
+    """Single-head MC contract (``/root/reference/model.py:87-130``): sigmoid
+    applied INSIDE mc_inference, so predictions are probabilities.  At zero
+    dropout every MC sample must equal sigmoid of the torch reference's
+    deterministic forward, and attention must match to 1e-5."""
+    from montecarlo_gated_mil_tpu.mcdo import mc_inference_single_head
+
+    torch.manual_seed(7)
+    tm = TorchSingleHeadGAMIL(feature_dropout=0.0, attention_dropout=0.0).eval()
+    n, hw = 6, 64
+    bag = torch.randn(n, 3, hw, hw)
+    with torch.no_grad():
+        y_ref, a_ref = tm(bag)
+    probs_ref = torch.sigmoid(y_ref).numpy()
+
+    jm = GatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    variables = port_singlehead_gamil(_state_dict_np(tm))
+    out = mc_inference_single_head(
+        jm, variables, jnp.asarray(bag.numpy().transpose(0, 2, 3, 1)), None,
+        4, jax.random.key(0),
+    )
+    assert out.aux_losses is None  # no aux loss on the single-head model
+    assert out.predictions.shape == (4, 1)
+    for t in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out.predictions[t]), probs_ref, atol=1e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.attention[t]), a_ref.numpy(), atol=1e-5, rtol=1e-4
+        )
+
+
 @pytest.mark.parametrize("is_positive", [True, False])
 @pytest.mark.parametrize("loss_type", ["pairwise", "cosine"])
 def test_auxiliary_loss_parity(is_positive, loss_type):

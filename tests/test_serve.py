@@ -30,6 +30,44 @@ def _predictor(num_samples=4, quantized=False):
     )
 
 
+def test_estimate_valid_tiles_tracks_exact_count():
+    """The host-side subsampled fill estimate (the serving bucket picker —
+    replaces the round-2 device count + blocking readback) overshoots the
+    exact device count via its margin, and returns None on off-size images
+    (the resize path, where its geometry no longer maps)."""
+    import jax.numpy as jnp
+
+    from montecarlo_gated_mil_tpu.data.pipeline import (
+        count_valid_tiles,
+        estimate_valid_tiles,
+    )
+
+    cfg = PipelineConfig(
+        height=256, width=256, patch_size=64, overlap=0.5,
+        empty_threshold=0.5, bucket=64,
+    )
+    starts_np = cfg.grid().tiles_array()[:, :2]
+    starts = jnp.asarray(starts_np)
+    for seed in range(4):
+        for flip in (False, True):
+            img = np.asarray(
+                synthetic_image(256, 256, positive=bool(seed % 2), seed=seed)
+            )
+            exact = int(
+                count_valid_tiles(jnp.asarray(img), jnp.asarray(flip), starts, cfg)
+            )
+            est = estimate_valid_tiles(img, flip, starts_np, cfg)
+            assert est >= exact, (seed, flip, est, exact)
+            assert est <= cfg.grid().num_tiles
+    assert estimate_valid_tiles(np.zeros((100, 256)), False, starts_np, cfg) is None
+    # bag_size caps the estimate like the exact count
+    from dataclasses import replace
+
+    capped = replace(cfg, bag_size=2)
+    img = np.ones((256, 256), np.float32)
+    assert estimate_valid_tiles(img, False, starts_np, capped) == 2
+
+
 @pytest.mark.slow
 def test_predict_end_to_end():
     p = _predictor()
