@@ -79,6 +79,17 @@ def get_args_parser() -> argparse.ArgumentParser:
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--no-warmup", action="store_true")
             p.add_argument(
+                "--background-warmup", action="store_true",
+                help="HTTP mode: listen after one cap-bucket compile and "
+                "warm the remaining buckets in a background thread",
+            )
+            p.add_argument(
+                "--aot-cache", type=str, default=None, metavar="DIR",
+                help="warm via an on-disk serialized-executable cache: "
+                "first launch compiles+saves, restarts load in seconds "
+                "(use one directory per checkpoint)",
+            )
+            p.add_argument(
                 "--data-root", type=str, default=None,
                 help="directory HTTP image_path requests may read from "
                 "(omitted: image_path requests are rejected in HTTP mode)",
@@ -172,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
                 port=args.port,
                 host=args.host,
                 warmup=not args.no_warmup,
+                background_warmup=args.background_warmup,
+                aot_cache=args.aot_cache,
                 maps_dir=args.maps_dir,
                 data_root=args.data_root,
             )

@@ -143,6 +143,13 @@ def _conv_t_scale(
     return jnp.maximum(bound, 1e-3) / 127.0
 
 
+# Exact per-channel bounds of ImageNet-normalized [0, 1] pixels:
+# max(|(0-mean)/std|, |(1-mean)/std|) per channel — the stem input's int8
+# scale is static and clips NOTHING for real pixel data (synthetic test
+# inputs outside this range saturate benignly).
+_IMAGENET_INPUT_BOUND = (2.249, 2.429, 2.640)
+
+
 def quantize_backbone_static(
     params: dict,
     backbone: str = "r18",
@@ -150,6 +157,7 @@ def quantize_backbone_static(
     *,
     conv_store: str = "bf16",
     rho: float = 2.0,
+    stem: str = "bf16",
 ) -> dict:
     """Static-scale quantization plan: every activation's int8 scale is
     known at build time (from the BN affines), so runtime quantization is a
@@ -182,16 +190,43 @@ def quantize_backbone_static(
         raise ValueError(f"quantized path supports {sorted(_STAGES)}, got {backbone!r}")
     if conv_store not in ("bf16", "f8", "i8"):
         raise ValueError(f"conv_store must be bf16|f8|i8, got {conv_store!r}")
-    # Stem stays bf16: it is HBM-bound, and an int8 conv at Cin=3 is slower
-    # than bf16 (int8's (32, 128) tiling pads 3 channels terribly — measured
-    # stem 1.78 -> 2.48 ms when quantized).  Quantization starts at layer1,
-    # fused into the stem's normalize epilogue.
+    if stem not in ("s2d_i8", "bf16"):
+        raise ValueError(f"stem must be s2d_i8|bf16, got {stem!r}")
+    # Stem options (a DIRECT int8 7x7 conv at Cin=3 measured 0.75x — int8's
+    # (32, 128) tiling pads 3 channels terribly):
+    # - "bf16" (default): the exact stem, fastest IN CONTEXT.
+    # - "s2d_i8": the exact space-to-depth transform of the 7x7-s2 stem
+    #   (4x4-s1 conv over (112, 112, 12) input; same parameter, rearranged
+    #   at build time — models/resnet.py::SpaceToDepthStem derivation)
+    #   quantized int8 with the exact ImageNet-normalized-[0,1] input
+    #   bound (zero clipping on real pixels; cosine 0.9998).  The isolated
+    #   conv measures 1.14x bf16 (0.746 -> 0.653 ms) — but in the full
+    #   embed it is a NET REGRESSION (5.6 -> 6.6 ms; bench 185 -> 155/s):
+    #   the fused quantize + space-to-depth transpose of the (N, 224, 224,
+    #   3) input is a relayout sweep XLA cannot hide, costing far more
+    #   than the int8 conv saves (measured round 3, tools/profile_int8.py
+    #   s2d + full).  Kept as a tested option for pipelines that can emit
+    #   s2d-int8 patches directly.
+    # The stem epilogue (stats, normalize, pool-first maxpool) is identical
+    # for both; quantization of the pooled activation starts layer1 either
+    # way.
     stages, bottleneck = _STAGES[backbone]
     out: dict = {
         "conv1": jnp.asarray(params["conv1"]["kernel"], jnp.bfloat16),
         "bn1": jax.tree.map(jnp.asarray, params["bn1"]),
         "conv_store": conv_store,
     }
+    if stem == "s2d_i8":
+        w7 = jnp.asarray(params["conv1"]["kernel"], jnp.float32)  # (7,7,3,64)
+        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        wk = (
+            w8.reshape(4, 2, 4, 2, 3, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 12, 64)
+        )
+        in_bound = jnp.tile(jnp.asarray(_IMAGENET_INPUT_BOUND, jnp.float32), 4)
+        out["stem_in_scale"] = in_bound / 127.0
+        out["conv1_q"] = _fold_quantize(wk, out["stem_in_scale"])
     b = _relu_bound(params["bn1"], k)  # bound of the pooled stem activation
     # input-activation moments for conv_store="i8": stem output is
     # relu(BN)-distributed; maxpool shifts the mean up (max of 9 values) —
@@ -352,14 +387,38 @@ def quantized_embed_static(
     n = patches.shape[0]
     if mask is None:
         mask = jnp.ones((n,), bool)
-    t = jax.lax.conv_general_dilated(
-        patches.astype(jnp.bfloat16),
-        qparams["conv1"],
-        window_strides=(2, 2),
-        padding=((3, 3), (3, 3)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.bfloat16,
-    )
+    if "conv1_q" in qparams and patches.shape[1] % 2 == 0 and patches.shape[2] % 2 == 0:
+        # s2d int8 stem: quantize the space-to-depth input with the static
+        # ImageNet bound (fused with the rearrange into one pass) and run
+        # the exact 4x4-s1 transform of the 7x7-s2 conv on the MXU in int8.
+        _, h, w, c = patches.shape
+        x2 = (
+            patches.astype(jnp.float32)
+            .reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        ai = jnp.clip(
+            jnp.round(x2 / qparams["stem_in_scale"]), -127, 127
+        ).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            ai,
+            qparams["conv1_q"]["w"],
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        t = (y.astype(jnp.float32) * qparams["conv1_q"]["s"]).astype(jnp.bfloat16)
+    else:
+        t = jax.lax.conv_general_dilated(
+            patches.astype(jnp.bfloat16),
+            qparams["conv1"],
+            window_strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        )
     se, be = _bn_affine(t, qparams["bn1"], mask)
     # Pool FIRST on the (lazy) f32 normalized values, quantize the pooled
     # result: the normalize+relu chain fuses into reduce_window's input, so

@@ -14,6 +14,7 @@ a single dispatch).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
@@ -124,8 +125,11 @@ class MCDOPredictor:
             )
 
         self._infers: dict[int, object] = {}
+        # (bucket, dtype name) -> AOT-compiled executable (aot_warmup)
+        self._aot: dict[tuple[int, str], object] = {}
         self._bag_fn = self._build_bag_fn()  # built once: predict_many stays warm
         self._starts_np = self._grid.tiles_array()[:, :2]
+        self._warming = False  # set while a background warmup thread runs
 
     def _pick_bucket(self, arr, laterality: str) -> int:
         """Smallest sufficient registry bucket for a request, from the
@@ -247,12 +251,86 @@ class MCDOPredictor:
             kw.setdefault("bucket_spec", BucketSpec(cfg.tpu.buckets))
         return cls(build_model(cfg), params, pipeline, **kw)
 
-    def warmup(self, dtypes=(np.float32, np.uint16)) -> None:
+    def _aot_args(self, dtype):
+        hw = (self.pipeline.height, self.pipeline.width)
+        zero, inv_max = _prepare_image(np.zeros(hw, dtype), None)
+        return (
+            jnp.asarray(zero),
+            jnp.asarray(False),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(inv_max),
+        )
+
+    def aot_warmup(self, directory: str, dtypes=(np.float32, np.uint16)) -> int:
+        """Warm every (bucket, dtype) program through an on-disk executable
+        cache — the serving cold-start fix for runtimes where the XLA
+        compilation cache is unusable (the axon plugin hangs with
+        ``jax_compilation_cache_dir``; docs/ROADMAP.md item 4).
+
+        ``jax.experimental.serialize_executable`` round-trips compiled
+        executables on this runtime (probed: 173 KB, deserialize+run 0.05 s
+        — ``tools/measure_coldstart.py``).  First launch compiles and
+        serializes each program; every later launch deserializes in
+        seconds instead of recompiling for minutes.  Parameters are baked
+        into the executable, so the cache directory must be per-checkpoint
+        (stale-weight safety: key the directory by checkpoint name).
+        Returns the number of programs loaded from cache.
+        """
+        import pickle
+
+        from jax.experimental import serialize_executable as se
+
+        os.makedirs(directory, exist_ok=True)
+        buckets = [self.pipeline.bucket]
+        if self.bucket_spec is not None:
+            buckets += [
+                b for b in self.bucket_spec.sizes if b <= self.pipeline.bucket
+            ]
+        hits = 0
+        for dtype in dtypes:
+            args = self._aot_args(dtype)
+            for b in dict.fromkeys(buckets):
+                name = f"infer_b{b}_{np.dtype(dtype).name}.jaxexec"
+                path = os.path.join(directory, name)
+                key = (b, np.dtype(dtype).name)
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        payload, in_tree, out_tree = pickle.load(f)
+                    # pin the single serving device: without this, loading
+                    # on a multi-local-device backend (the 8-CPU test mesh)
+                    # builds an executable expecting one shard per device
+                    self._aot[key] = se.deserialize_and_load(
+                        payload, in_tree, out_tree,
+                        execution_devices=[jax.devices()[0]],
+                    )
+                    hits += 1
+                    continue
+                compiled = self._infer_for(b).lower(*args).compile()
+                self._aot[key] = compiled
+                with open(path + ".tmp", "wb") as f:
+                    pickle.dump(se.serialize(compiled), f)
+                os.replace(path + ".tmp", path)
+        return hits
+
+    def warmup(
+        self, dtypes=(np.float32, np.uint16), *, background: bool = False
+    ):
         """Trigger all compilations with dummy requests: every registry
         bucket (with adaptive buckets) x every expected input dtype — each
         input dtype is a distinct XLA program, and a cold compile on the
         first real DICOM-wire uint16 request would stall it for minutes on
-        this runtime."""
+        this runtime.
+
+        ``background=True`` cuts cold start to ONE compile: the cap bucket
+        for the first dtype compiles synchronously (the predictor can serve
+        as soon as this returns — any request can run at the cap bucket,
+        just with more padding), and the remaining (bucket, dtype) programs
+        compile in a daemon thread while requests are being served; a
+        request needing a not-yet-compiled bucket simply pays its compile
+        (or, if ``_pick_bucket`` would choose one, runs at the smallest
+        *already-compiled* sufficient bucket — see ``predict``).  Returns
+        the background thread (or None) so callers/tests can join it.
+        """
         hw = (self.pipeline.height, self.pipeline.width)
         buckets = [self.pipeline.bucket]
         if self.bucket_spec is not None:
@@ -261,10 +339,35 @@ class MCDOPredictor:
             ]
         flip = jnp.asarray(False)
         seed = jnp.asarray(0, jnp.int32)
-        for dtype in dtypes:
+
+        def compile_one(dtype, b):
             zero, inv_max = _prepare_image(np.zeros(hw, dtype), None)
-            for b in set(buckets):
-                self._infer_for(b)(zero, flip, seed, inv_max)
+            self._infer_for(b)(zero, flip, seed, inv_max)
+
+        combos = [(d, b) for d in dtypes for b in dict.fromkeys(buckets)]
+        if not background:
+            for d, b in combos:
+                compile_one(d, b)
+            return None
+        compile_one(*combos[0])  # cap bucket, first dtype: ready to serve
+
+        import threading
+
+        self._warming = True
+
+        def rest():
+            try:
+                for d, b in combos[1:]:
+                    try:
+                        compile_one(d, b)
+                    except Exception:  # noqa: BLE001 — warmup is best-effort
+                        pass
+            finally:
+                self._warming = False
+
+        t = threading.Thread(target=rest, daemon=True, name="mcgmil-warmup")
+        t.start()
+        return t
 
     def predict(
         self,
@@ -286,12 +389,32 @@ class MCDOPredictor:
         arr, inv_max = _prepare_image(image, pixel_max)
         flip = jnp.asarray(laterality == "R")
         bucket = self._pick_bucket(arr, laterality)
-        bag, y, a = self._infer_for(bucket)(
-            arr,
-            flip,
-            jnp.asarray(seed, jnp.int32),
-            inv_max,
-        )
+        if getattr(self, "_warming", False) and bucket not in self._infers:
+            # Background warmup in progress: round up to the smallest
+            # already-compiled sufficient bucket (same result, more
+            # padding) instead of stalling this request on a cold compile.
+            compiled = sorted(b for b in self._infers if b >= bucket)
+            if compiled:
+                bucket = compiled[0]
+        # AOT-cached executable when one matches (exact shape + dtype);
+        # the jitted program otherwise.
+        aot = self._aot.get((bucket, arr.dtype.name))
+        if aot is not None and arr.shape == (
+            self.pipeline.height, self.pipeline.width
+        ):
+            bag, y, a = aot(
+                jnp.asarray(arr),
+                flip,
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(inv_max),
+            )
+        else:
+            bag, y, a = self._infer_for(bucket)(
+                arr,
+                flip,
+                jnp.asarray(seed, jnp.int32),
+                inv_max,
+            )
         stats = predictive_stats(y)
         att = attention_stats(a, bag.mask)
         maps = None

@@ -359,12 +359,25 @@ def run_server(
     port: int = 8000,
     host: str = "127.0.0.1",
     warmup: bool = True,
+    background_warmup: bool = False,
+    aot_cache: str | None = None,
     maps_dir: str | None = None,
     data_root: str | None = None,
 ) -> None:
+    """``background_warmup=True`` compiles only the cap-bucket program
+    before listening (one compile instead of buckets x dtypes) and warms
+    the rest in a daemon thread — requests arriving meanwhile run at the
+    smallest already-compiled sufficient bucket (same results, more
+    padding).  ``aot_cache`` warms through an on-disk serialized-executable
+    cache instead: the first launch compiles and saves, every restart
+    deserializes in seconds (keep the directory per-checkpoint — weights
+    are baked into the executables)."""
     predictor = build_predictor(cfg, checkpoint)
-    if warmup:
-        predictor.warmup()
+    if aot_cache:
+        hits = predictor.aot_warmup(aot_cache)
+        print(f"aot cache {aot_cache}: {hits} program(s) loaded, rest compiled+saved")
+    elif warmup:
+        predictor.warmup(background=background_warmup)
     srv = make_server(predictor, port, host, maps_dir, data_root)
     print(f"serving on http://{host}:{port} (POST /predict, GET /healthz)")
     try:

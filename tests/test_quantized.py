@@ -67,6 +67,29 @@ def test_quantized_features_agree_with_float(model_and_params, conv_store):
         assert cos.min() > 0.97, cos.min()
 
 
+def test_quantized_s2d_stem_agrees_with_bf16_stem(model_and_params):
+    """stem='s2d_i8' (measured-negative in context on v5e, kept as a tested
+    option): exact s2d rearrangement of the same stem parameter + static
+    ImageNet input bound — features must track the bf16-stem path."""
+    model, variables = model_and_params
+    feats = variables["params"]["features"]
+    q_ref = quantize_backbone_static(feats, "r18")
+    q_s2d = quantize_backbone_static(feats, "r18", stem="s2d_i8")
+    assert "conv1_q" in q_s2d and "conv1_q" not in q_ref
+    for patches, mask in _bags(2, seed=3):
+        h_ref = np.asarray(quantized_embed_static(q_ref, patches, mask), np.float32)
+        h_s2d = np.asarray(quantized_embed_static(q_s2d, patches, mask), np.float32)
+        nv = int(mask.sum())
+        cos = np.sum(h_ref[:nv] * h_s2d[:nv], -1) / (
+            np.linalg.norm(h_ref[:nv], axis=-1)
+            * np.linalg.norm(h_s2d[:nv], axis=-1)
+            + 1e-12
+        )
+        assert cos.min() > 0.97, cos.min()
+    with pytest.raises(ValueError, match="stem"):
+        quantize_backbone_static(feats, "r18", stem="nope")
+
+
 def test_quantized_predictions_agree(model_and_params):
     """Deterministic MIL predictions from int8 features match the float
     path on synthetic bags (the serving acceptance criterion)."""

@@ -172,6 +172,104 @@ def test_adaptive_bucket_predictor_matches_fixed():
 
 
 @pytest.mark.slow
+def test_background_warmup_serves_at_compiled_bucket():
+    """background=True returns after ONE cap-bucket compile; a request
+    arriving while smaller buckets still warm runs at the smallest
+    already-compiled bucket (identical prediction, more padding), and the
+    thread eventually compiles the rest."""
+    from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+
+    model = MultiHeadGatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    key = jax.random.key(0)
+    import jax.numpy as jnp
+
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)), jnp.ones(4, bool),
+    )
+    pipeline = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+    p = MCDOPredictor(
+        model, variables["params"], pipeline, num_samples=2,
+        use_pallas=False, bucket_spec=BucketSpec((2, 4, 8)),
+    )
+    t = p.warmup(dtypes=(np.float32,), background=True)
+    assert 8 in p._infers  # cap bucket ready immediately
+    # while warming, a sparse request (would pick bucket 2) must not stall
+    # on a cold compile: it rounds up to a compiled bucket
+    sparse = np.zeros((128, 128), np.float32)
+    sparse[:64, :64] = 0.8
+    r = p.predict(sparse, seed=5)
+    assert r.prediction in (0, 1)
+    t.join(timeout=600)
+    assert not t.is_alive() and not p._warming
+    assert {2, 4, 8} <= set(p._infers)  # everything warmed eventually
+    # after warmup the same request uses its true small bucket
+    r2 = p.predict(sparse, seed=5)
+    assert r2.prediction == r.prediction
+    assert r2.attention.mean.shape[1] == 2
+    np.testing.assert_allclose(
+        np.asarray(r2.stats.mean), np.asarray(r.stats.mean), atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_aot_warmup_roundtrips_executables(tmp_path):
+    """aot_warmup compiles + serializes per-(bucket, dtype) executables on
+    first launch and deserializes them on the next (the serving cold-start
+    fix); predictions through the AOT path match the jitted path."""
+    import jax.numpy as jnp
+
+    from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+
+    model = MultiHeadGatedAttentionMIL(feature_dropout=0.0, attention_dropout=0.0)
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)), jnp.ones(4, bool),
+    )
+    pipeline = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+
+    def make():
+        return MCDOPredictor(
+            model, variables["params"], pipeline, num_samples=2,
+            use_pallas=False, bucket_spec=BucketSpec((4, 8)),
+        )
+
+    img = synthetic_image(128, 128, positive=True, seed=6)
+    p_jit = make()
+    ref = p_jit.predict(img, "L", seed=2)
+
+    p1 = make()
+    hits = p1.aot_warmup(str(tmp_path), dtypes=(np.float32,))
+    assert hits == 0  # first launch: everything compiled + saved
+    assert len(list(tmp_path.glob("*.jaxexec"))) == 2  # buckets 4 and 8
+    a = p1.predict(img, "L", seed=2)
+    np.testing.assert_allclose(
+        np.asarray(a.stats.mean), np.asarray(ref.stats.mean), atol=1e-6
+    )
+    assert a.prediction == ref.prediction
+
+    p2 = make()  # fresh predictor: everything loads from cache
+    hits = p2.aot_warmup(str(tmp_path), dtypes=(np.float32,))
+    assert hits == 2
+    b = p2.predict(img, "L", seed=2)
+    assert b.prediction == ref.prediction
+    np.testing.assert_allclose(
+        np.asarray(b.stats.mean), np.asarray(ref.stats.mean), atol=1e-6
+    )
+    # off-size images bypass the AOT executables (shape is baked in)
+    small = np.zeros((100, 128), np.float32)
+    r = p2.predict(small, "L", seed=1)
+    assert r.prediction in (0, 1)
+
+
+@pytest.mark.slow
 def test_predict_many_and_warmup():
     p = _predictor(num_samples=2)
     p.warmup()
