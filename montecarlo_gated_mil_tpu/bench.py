@@ -67,12 +67,26 @@ def run_bench(
     patches = jax.random.normal(key, (bag_size, patch, patch, 3), jnp.float32)
     patches = patches.astype(dtype)
     mask = jnp.ones((bag_size,), bool)
-    # init with a small dummy (params are spatial-size agnostic)
-    variables = jax.jit(model.init)(
-        {"params": key, "dropout": key},
-        jnp.zeros((8, 64, 64, 3), jnp.float32),
-        jnp.ones((8,), bool),
-    )
+    # init with a small dummy (params are spatial-size agnostic), on the
+    # in-process CPU backend with host-numpy results: jit treats them as
+    # ordinary constants, and keeping the bench free of device->host reads
+    # sidesteps the tunnel's first-fetch stall (docs/PERFORMANCE.md §R3c)
+    # during setup.
+    import numpy as np
+
+    def _init():
+        return jax.jit(model.init)(
+            {"params": key, "dropout": key},
+            jnp.zeros((8, 64, 64, 3), jnp.float32),
+            jnp.ones((8,), bool),
+        )
+
+    if jax.default_backend() != "cpu":
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = _init()
+        variables = jax.tree.map(np.asarray, variables)
+    else:
+        variables = _init()
     kp = GatedAttentionParams.from_model_params(variables["params"])
     fd, ad = model.feature_dropout, model.attention_dropout
 

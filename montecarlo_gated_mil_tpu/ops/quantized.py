@@ -185,7 +185,46 @@ def quantize_backbone_static(
 
     Returns a pytree holding folded int8 kernels, per-cout dequant scales,
     BN affines, and the per-tensor activation scales (``bound/127``).
+
+    Outside a trace on a non-CPU backend, the plan is built EAGERLY ON THE
+    HOST CPU backend and shipped down in one ``device_put``: built op-by-op
+    on the tunneled TPU backend it costs ~70 s of tiny compiles+dispatches
+    (measured, tools/probe_build_phases.py) vs <1 s on the in-process CPU —
+    the dominant term of serving cold start.  Inside jit (the train-time
+    ``make_embed_fn`` path) it traces as before.
     """
+    leaves = jax.tree.leaves(params)
+    if (
+        jax.default_backend() != "cpu"
+        and leaves
+        and not any(isinstance(x, jax.core.Tracer) for x in leaves)
+    ):
+        host_params = jax.device_get(params)
+        with jax.default_device(jax.devices("cpu")[0]):
+            plan = _build_static_plan(
+                host_params, backbone, k,
+                conv_store=conv_store, rho=rho, stem=stem,
+            )
+        dev = jax.devices()[0]
+        # The plan carries non-array leaves (mode strings); ship only arrays.
+        return jax.tree.map(
+            lambda x: jax.device_put(x, dev) if hasattr(x, "dtype") else x,
+            plan,
+        )
+    return _build_static_plan(
+        params, backbone, k, conv_store=conv_store, rho=rho, stem=stem
+    )
+
+
+def _build_static_plan(
+    params: dict,
+    backbone: str,
+    k: float,
+    *,
+    conv_store: str,
+    rho: float,
+    stem: str,
+) -> dict:
     if backbone not in _STAGES:
         raise ValueError(f"quantized path supports {sorted(_STAGES)}, got {backbone!r}")
     if conv_store not in ("bf16", "f8", "i8"):

@@ -188,7 +188,12 @@ class MCDOPredictor:
                     jax.random.key(seed),
                 )
                 y, a = out.predictions, out.attention
-            return bag, y, a
+            # The uncertainty reductions live INSIDE the program: as eager
+            # post-jit ops they cost dozens of op-by-op compiles on the
+            # first request (~50 s on this tunneled runtime, measured in
+            # tools/measure_coldstart.py), and inside they ride the AOT
+            # executable cache like everything else.
+            return bag, y, a, predictive_stats(y), attention_stats(a, bag.mask)
 
         self._infers[bucket] = _infer
         return _infer
@@ -290,7 +295,9 @@ class MCDOPredictor:
         for dtype in dtypes:
             args = self._aot_args(dtype)
             for b in dict.fromkeys(buckets):
-                name = f"infer_b{b}_{np.dtype(dtype).name}.jaxexec"
+                # v2: the program's out_tree grew the in-jit stats bundle —
+                # stale v1 files must miss, not deserialize to a 3-tuple.
+                name = f"infer_b{b}_{np.dtype(dtype).name}_v2.jaxexec"
                 path = os.path.join(directory, name)
                 key = (b, np.dtype(dtype).name)
                 if os.path.exists(path):
@@ -310,7 +317,24 @@ class MCDOPredictor:
                 with open(path + ".tmp", "wb") as f:
                     pickle.dump(se.serialize(compiled), f)
                 os.replace(path + ".tmp", path)
+        self.absorb_first_fetch()
         return hits
+
+    def absorb_first_fetch(self) -> None:
+        """Pay the tunnel's first device->host fetch stall NOW, inside
+        startup, so the first user request doesn't.
+
+        On the tunneled runtime the first buffer read of a process stalls
+        1-4 minutes and serializes every other tunnel op behind it; every
+        later fetch is milliseconds.  Measured path-independent — plain
+        ``device_get``, cross-backend ``device_put`` to the CPU backend,
+        and XLA ``pinned_host`` out_shardings all hit it (tools/
+        measure_coldstart.py; docs/PERFORMANCE.md cold-start section) — so
+        it cannot be dodged, only scheduled.  No-op on CPU backends and
+        after the first fetch."""
+        if jax.default_backend() == "cpu":
+            return
+        np.asarray(jax.device_put(np.zeros(1, np.float32), jax.devices()[0]))
 
     def warmup(
         self, dtypes=(np.float32, np.uint16), *, background: bool = False
@@ -348,8 +372,10 @@ class MCDOPredictor:
         if not background:
             for d, b in combos:
                 compile_one(d, b)
+            self.absorb_first_fetch()
             return None
         compile_one(*combos[0])  # cap bucket, first dtype: ready to serve
+        self.absorb_first_fetch()
 
         import threading
 
@@ -402,21 +428,19 @@ class MCDOPredictor:
         if aot is not None and arr.shape == (
             self.pipeline.height, self.pipeline.width
         ):
-            bag, y, a = aot(
+            bag, y, a, stats, att = aot(
                 jnp.asarray(arr),
                 flip,
                 jnp.asarray(seed, jnp.int32),
                 jnp.asarray(inv_max),
             )
         else:
-            bag, y, a = self._infer_for(bucket)(
+            bag, y, a, stats, att = self._infer_for(bucket)(
                 arr,
                 flip,
                 jnp.asarray(seed, jnp.int32),
                 inv_max,
             )
-        stats = predictive_stats(y)
-        att = attention_stats(a, bag.mask)
         maps = None
         if return_maps:
             maps = reconstruct_attention_maps(

@@ -59,7 +59,24 @@ def build_predictor(
     from montecarlo_gated_mil_tpu.train.state import Checkpointer
 
     model = build_model(cfg)
-    params = init_params(model, jax.random.key(cfg.seed))
+    if jax.default_backend() != "cpu":
+        # Initialize on the in-process CPU backend and keep the parameters
+        # HOST-RESIDENT (numpy).  Two measured reasons (tools/
+        # measure_coldstart.py, docs/PERFORMANCE.md cold-start section):
+        # the init jit costs ~10 s over the tunneled TPU runtime vs ~1 s on
+        # host, and — decisive — any device->host readback of TPU-resident
+        # params later (the quantization plan builder pulls them) hits the
+        # tunnel's first-fetch stall (1-4 min, serializes all traffic).
+        # Host numpy params are ordinary jit constants: XLA ships them
+        # device-ward at compile time, which is the only direction the
+        # tunnel transfers fast.
+        import numpy as np
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = init_params(model, jax.random.key(cfg.seed))
+        params = jax.tree.map(np.asarray, params)
+    else:
+        params = init_params(model, jax.random.key(cfg.seed))
     if checkpoint:
         store = Checkpointer(cfg.model_path)
         try:
