@@ -34,7 +34,7 @@ from montecarlo_gated_mil_tpu.ops.gated_attention import (
     GatedAttentionParams,
     mc_gated_attention_fused,
 )
-from montecarlo_gated_mil_tpu.viz.attention import reconstruct_attention_maps
+from montecarlo_gated_mil_tpu.viz.attention import attention_map_stats
 
 Array = jax.Array
 
@@ -402,6 +402,7 @@ class MCDOPredictor:
         *,
         seed: int = 0,
         return_maps: bool = False,
+        map_downsample: int = 1,
         pixel_max: float | None = None,
     ) -> PredictionResult:
         """Classify one grayscale mammogram.
@@ -410,7 +411,11 @@ class MCDOPredictor:
         uint16) normalized on device by ``pixel_max`` (default: dtype max;
         pass ``2**bits_stored - 1`` for DICOM) — integer input halves the
         host->device transfer.  ``return_maps`` additionally reconstructs
-        full-resolution mean/std attention maps (the infer.py figure inputs).
+        full-resolution mean/std attention maps (the infer.py figure inputs);
+        ``map_downsample=k`` box-averages them down k-fold on device before
+        the fetch — full-resolution maps are 2x~158 MB f32 at production
+        size (~35 s through a tunneled runtime), a viewer-resolution k=8
+        map is 1/64 of that.
         """
         arr, inv_max = _prepare_image(image, pixel_max)
         flip = jnp.asarray(laterality == "R")
@@ -443,14 +448,9 @@ class MCDOPredictor:
             )
         maps = None
         if return_maps:
-            maps = reconstruct_attention_maps(
-                a, bag.tile_indices, bag.mask, self._grid
-            )
-            maps = (
-                jnp.mean(maps, axis=0),
-                jnp.std(maps, axis=0, ddof=1)
-                if self.num_samples > 1
-                else jnp.zeros_like(maps[0]),
+            maps = attention_map_stats(
+                a, bag.tile_indices, bag.mask, self._grid,
+                downsample=map_downsample,
             )
         # One batched host fetch: each device_get is a full round trip
         # (~25 ms on tunneled runtimes), so everything the result needs

@@ -19,6 +19,9 @@ is available — while map requests take the single-bag path that also
 reconstructs full-resolution mean/std attention maps.  Maps are written
 as ``.npy`` artifacts (paths in the result) in both modes; at production
 size they are hundreds of MB each and are never inlined over HTTP.
+``"map_downsample": k`` box-averages the maps k-fold on device before the
+fetch (viewer resolution at 1/k² the bytes; exact box mean of the
+full-resolution map).
 
 HTTP mode (stdlib ``http.server``; one process, requests serialized around
 the device)::
@@ -223,6 +226,7 @@ def serve_jsonl(
                 req.get("laterality", "L"),
                 seed=int(req.get("seed", 0)),
                 return_maps=True,
+                map_downsample=int(req.get("map_downsample", 1)),
                 pixel_max=req.get("pixel_max"),
             )
             emit(result_to_dict(r, maps_prefix=prefix))
@@ -304,6 +308,11 @@ class _Handler(BaseHTTPRequestHandler):
             ):
                 raise ValueError(f"pixel_max must be a number, got {pixel_max!r}")
             seed = int(req.get("seed", 0))
+            map_downsample = int(req.get("map_downsample", 1))
+            if map_downsample < 1:
+                raise ValueError(
+                    f"map_downsample must be >= 1, got {map_downsample}"
+                )
         except (KeyError, ValueError, TypeError, json.JSONDecodeError, OSError) as e:
             self._reply(400, {"error": str(e)})
             return
@@ -315,6 +324,7 @@ class _Handler(BaseHTTPRequestHandler):
                     req.get("laterality", "L"),
                     seed=seed,
                     return_maps=want_maps,
+                    map_downsample=map_downsample,
                     pixel_max=pixel_max,
                 )
                 prefix = None

@@ -1,4 +1,5 @@
 from montecarlo_gated_mil_tpu.viz.attention import (  # noqa: F401
+    attention_map_stats,
     membership_matrices,
     reconstruct_attention_maps,
     reconstruct_image_from_patches,

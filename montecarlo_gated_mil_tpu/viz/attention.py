@@ -46,8 +46,7 @@ def membership_matrices(grid: TileGrid) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
-@partial(jax.jit, static_argnames=("n_rows", "n_cols"))
-def _reconstruct(
+def _reconstruct_body(
     attention: Array,  # (T, C, N)
     tile_indices: Array,  # (N,)
     mask: Array,  # (N,) bool
@@ -70,6 +69,87 @@ def _reconstruct(
     maps = maps / jnp.maximum(counts, 1.0)
     peak = jnp.max(maps, axis=(-2, -1), keepdims=True)
     return maps / jnp.where(peak > 0, peak, 1.0)
+
+
+_reconstruct = partial(jax.jit, static_argnames=("n_rows", "n_cols"))(
+    _reconstruct_body
+)
+
+
+def _box_mean(maps: Array, factor: int) -> Array:
+    """Exact box-average downsample of ``(..., H, W)`` by ``factor``.
+
+    Two 1-D ``reduce_window`` passes (a reshape-based block reduction on
+    the lane axis measures ~4x slower on TPU — Mosaic relayout); zero
+    padding with per-axis true-pixel counts keeps partial edge windows an
+    exact mean over the pixels they actually cover.
+    """
+    if factor == 1:
+        return maps
+    h, w = maps.shape[-2], maps.shape[-1]
+    nd = maps.ndim
+
+    def pool(x, axis, size):
+        window = [1] * nd
+        strides = [1] * nd
+        window[axis] = strides[axis] = factor
+        pad = [(0, 0)] * nd
+        pad[axis] = (0, -size % factor)
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, window, strides, pad
+        )
+
+    sums = pool(pool(maps, -2, h), -1, w)
+    ch = pool(jnp.ones((1,) * (nd - 2) + (h, 1), maps.dtype), -2, h)
+    cw = pool(jnp.ones((1,) * (nd - 2) + (1, w), maps.dtype), -1, w)
+    return sums / (ch * cw)
+
+
+@partial(jax.jit, static_argnames=("n_rows", "n_cols", "factor", "ddof"))
+def _map_stats(attention, tile_indices, mask, row_m, col_m, n_rows, n_cols,
+               factor, ddof):
+    maps = _reconstruct_body(
+        attention, tile_indices, mask, row_m, col_m, n_rows, n_cols
+    )
+    mean = jnp.mean(maps, axis=0)
+    std = (
+        jnp.std(maps, axis=0, ddof=ddof)
+        if maps.shape[0] > ddof
+        else jnp.zeros_like(mean)
+    )
+    return _box_mean(mean, factor), _box_mean(std, factor)
+
+
+def attention_map_stats(
+    attention: Array,
+    tile_indices: Array,
+    mask: Array,
+    grid: TileGrid,
+    *,
+    downsample: int = 1,
+    ddof: int = 1,
+) -> tuple[Array, Array]:
+    """Per-class (mean, std-over-T) attention maps, optionally box-averaged
+    down by ``downsample`` — one jitted program, so serving requests avoid
+    eager post-jit ops (each costs an op-by-op compile on cold runtimes).
+
+    Full-resolution maps are 2x~158 MB f32 at production size (~35 s to
+    fetch through the tunneled runtime); ``downsample=8`` ships the same
+    information for a viewer at 1/64 the bytes.  The downsampled map is the
+    exact box mean of the full-resolution one (asserted in
+    tests/test_serve.py).  ``std`` uses ddof=1, the torch convention the
+    reference's figure path follows (``/root/reference/infer.py:212-219``).
+    """
+    if downsample < 1:
+        raise ValueError(f"downsample must be >= 1, got {downsample}")
+    tiles = grid.tiles_array()
+    n_rows = len(np.unique(tiles[:, 0]))
+    n_cols = len(np.unique(tiles[:, 1]))
+    row_m, col_m = membership_matrices(grid)
+    return _map_stats(
+        attention, tile_indices, mask, jnp.asarray(row_m), jnp.asarray(col_m),
+        n_rows, n_cols, downsample, ddof,
+    )
 
 
 def reconstruct_attention_maps(

@@ -84,6 +84,29 @@ def test_predict_end_to_end():
 
 
 @pytest.mark.slow
+def test_predict_downsampled_maps_are_exact_box_means():
+    """map_downsample=k ships the exact k-fold box mean of the
+    full-resolution maps (device-side, so the fetch shrinks k^2-fold);
+    a non-divisible k exercises the partial edge windows."""
+    p = _predictor()
+    img = synthetic_image(128, 128, positive=True, seed=3)
+    full = p.predict(img, "L", return_maps=True)
+    for k in (4, 48):  # 128 % 48 != 0 -> partial edge windows
+        small = p.predict(img, "L", return_maps=True, map_downsample=k)
+        out = -(-128 // k)
+        assert small.attention_mean_maps.shape == (2, out, out)
+        for name in ("attention_mean_maps", "attention_std_maps"):
+            f, s = getattr(full, name), getattr(small, name)
+            for y in range(out):
+                for x in range(out):
+                    block = f[:, y * k : (y + 1) * k, x * k : (x + 1) * k]
+                    np.testing.assert_allclose(
+                        s[:, y, x], block.mean(axis=(1, 2)), rtol=0, atol=1e-5,
+                        err_msg=f"{name} k={k} ({y},{x})",
+                    )
+
+
+@pytest.mark.slow
 def test_predict_deterministic_per_seed_and_laterality_matters():
     p = _predictor()
     img = synthetic_image(128, 128, positive=False, seed=2)
