@@ -26,7 +26,7 @@ from montecarlo_gated_mil_tpu.mcdo.sampling import (
 )
 from montecarlo_gated_mil_tpu.runners import init_params
 from montecarlo_gated_mil_tpu.train.state import Checkpointer
-from montecarlo_gated_mil_tpu.viz.attention import reconstruct_attention_maps
+from montecarlo_gated_mil_tpu.viz.attention import attention_map_stats
 from montecarlo_gated_mil_tpu.viz.figures import plot_attention_and_density
 
 
@@ -66,11 +66,9 @@ def run_inference(
                 jax.random.fold_in(key, j),
             )
             stats = predictive_stats(out.predictions)
-            maps = reconstruct_attention_maps(
+            mean_maps, std_maps = attention_map_stats(
                 out.attention, bag.tile_indices, bag.mask, grid
-            )  # (T, C, H, W)
-            mean_maps = jnp.mean(maps, axis=0)  # (C, H, W)
-            std_maps = jnp.std(maps, axis=0, ddof=1) if cfg.N > 1 else jnp.zeros_like(mean_maps)
+            )  # (C, H, W) each; std over T, ddof=1, zeros at T=1
             # Display image: re-read the raw pixels and apply the laterality
             # canonicalization, exactly as the reference re-loads the DICOM
             # for display (infer.py:201-210).
