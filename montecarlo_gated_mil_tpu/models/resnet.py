@@ -179,6 +179,34 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def s2d_stem_kernel(w7: Array) -> Array:
+    """``(7, 7, C, 64)`` stem kernel → the exact ``(4, 4, 4C, 64)`` kernel
+    of its space-to-depth form (derivation in :class:`SpaceToDepthStem`).
+
+    Single source of truth for the rearrangement: the quantized int8 stem
+    (``ops/quantized.py``) and the profiling harness reuse it — the channel
+    grouping here MUST stay in lockstep with :func:`s2d_input`.
+    """
+    c = w7.shape[2]
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    return (
+        w8.reshape(4, 2, 4, 2, c, 64)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * c, 64)
+    )
+
+
+def s2d_input(x: Array) -> Array:
+    """``(N, H, W, C)`` → ``(N, H/2, W/2, 4C)`` 2×2 space-to-depth with the
+    channel order matching :func:`s2d_stem_kernel`."""
+    n, h, w, c = x.shape
+    return (
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c)
+    )
+
+
 class SpaceToDepthStem(nn.Module):
     """Exact transform of the 7x7-stride-2 stem conv into a 4x4-stride-1
     conv over 2x2 space-to-depth input (the MLPerf ResNet TPU optimization):
@@ -202,17 +230,8 @@ class SpaceToDepthStem(nn.Module):
         w7 = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, c, 64), jnp.float32
         )
-        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        wk = (
-            w8.reshape(4, 2, 4, 2, c, 64)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 4 * c, 64)
-        ).astype(self.dtype)
-        x2 = (
-            x.reshape(n, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, w // 2, 4 * c)
-        )
+        wk = s2d_stem_kernel(w7).astype(self.dtype)
+        x2 = s2d_input(x)
         return jax.lax.conv_general_dilated(
             x2.astype(self.dtype),
             wk,

@@ -186,18 +186,36 @@ def quantize_backbone_static(
     Returns a pytree holding folded int8 kernels, per-cout dequant scales,
     BN affines, and the per-tensor activation scales (``bound/127``).
 
-    Outside a trace on a non-CPU backend, the plan is built EAGERLY ON THE
-    HOST CPU backend and shipped down in one ``device_put``: built op-by-op
-    on the tunneled TPU backend it costs ~70 s of tiny compiles+dispatches
-    (measured, tools/probe_build_phases.py) vs <1 s on the in-process CPU —
-    the dominant term of serving cold start.  Inside jit (the train-time
+    Outside a trace on a non-CPU backend, when the parameters are already
+    HOST-RESIDENT (numpy or committed to the CPU backend — how
+    ``server.build_predictor`` hands them over), the plan is built eagerly
+    on the in-process CPU and shipped down in one ``device_put``: built
+    op-by-op on the tunneled TPU backend it costs ~70 s of tiny
+    compiles+dispatches (measured, tools/probe_build_phases.py) vs <1 s on
+    the CPU — the dominant term of serving cold start.  Device-resident
+    parameters deliberately do NOT take this path: pulling them back would
+    be a device->host read on a build path, which on the tunneled runtime
+    hits the first-fetch stall (1-4 min; CLAUDE.md invariant) — they build
+    eagerly on their own device instead.  Inside jit (the train-time
     ``make_embed_fn`` path) it traces as before.
     """
+
+    def _host_resident(x) -> bool:
+        if isinstance(x, jax.core.Tracer):
+            return False
+        devs = getattr(x, "devices", None)
+        if devs is None:
+            return True  # numpy / python scalar
+        try:
+            return all(d.platform == "cpu" for d in x.devices())
+        except Exception:  # noqa: BLE001 — unknown array type: stay safe
+            return False
+
     leaves = jax.tree.leaves(params)
     if (
         jax.default_backend() != "cpu"
         and leaves
-        and not any(isinstance(x, jax.core.Tracer) for x in leaves)
+        and all(_host_resident(x) for x in leaves)
     ):
         host_params = jax.device_get(params)
         with jax.default_device(jax.devices("cpu")[0]):
@@ -256,13 +274,10 @@ def _build_static_plan(
         "conv_store": conv_store,
     }
     if stem == "s2d_i8":
+        from montecarlo_gated_mil_tpu.models.resnet import s2d_stem_kernel
+
         w7 = jnp.asarray(params["conv1"]["kernel"], jnp.float32)  # (7,7,3,64)
-        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        wk = (
-            w8.reshape(4, 2, 4, 2, 3, 64)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 12, 64)
-        )
+        wk = s2d_stem_kernel(w7)
         in_bound = jnp.tile(jnp.asarray(_IMAGENET_INPUT_BOUND, jnp.float32), 4)
         out["stem_in_scale"] = in_bound / 127.0
         out["conv1_q"] = _fold_quantize(wk, out["stem_in_scale"])
@@ -430,13 +445,9 @@ def quantized_embed_static(
         # s2d int8 stem: quantize the space-to-depth input with the static
         # ImageNet bound (fused with the rearrange into one pass) and run
         # the exact 4x4-s1 transform of the 7x7-s2 conv on the MXU in int8.
-        _, h, w, c = patches.shape
-        x2 = (
-            patches.astype(jnp.float32)
-            .reshape(n, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, w // 2, 4 * c)
-        )
+        from montecarlo_gated_mil_tpu.models.resnet import s2d_input
+
+        x2 = s2d_input(patches.astype(jnp.float32))
         ai = jnp.clip(
             jnp.round(x2 / qparams["stem_in_scale"]), -127, 127
         ).astype(jnp.int8)

@@ -339,11 +339,24 @@ def load_cv_manifest(model_path: str, manifest_path: str | None = None) -> dict:
     if manifest_path is not None:
         with open(manifest_path) as f:
             return json.load(f)
-    paths = sorted(glob.glob(os.path.join(model_path, "cv_manifest*.json")))
-    if not paths:
+    single = os.path.join(model_path, "cv_manifest.json")
+    per_proc = sorted(
+        glob.glob(os.path.join(model_path, "cv_manifest_p*.json"))
+    )
+    if not per_proc and not os.path.exists(single):
         raise FileNotFoundError(f"no cv_manifest*.json under {model_path}")
+    # A single-process manifest and a per-process set can coexist when the
+    # same model_path hosted runs of both kinds: merging across generations
+    # would pair duplicate fold numbers with mixed-generation checkpoints.
+    # Use whichever generation is newer on disk.
+    if os.path.exists(single) and (
+        not per_proc
+        or os.path.getmtime(single) >= max(map(os.path.getmtime, per_proc))
+    ):
+        with open(single) as f:
+            return json.load(f)
     merged: dict | None = None
-    for path in paths:
+    for path in per_proc:
         with open(path) as f:
             part = json.load(f)
         if merged is None:
@@ -353,6 +366,13 @@ def load_cv_manifest(model_path: str, manifest_path: str | None = None) -> dict:
             merged.setdefault("all_fold_accuracies", {}).update(
                 part.get("all_fold_accuracies", {})
             )
+    seen = [e["fold"] for e in merged["folds"]]
+    if len(seen) != len(set(seen)):
+        raise ValueError(
+            f"duplicate fold ids {sorted(seen)} across per-process manifests "
+            f"under {model_path} — stale files from an earlier run? Pass an "
+            "explicit manifest_path or clean the directory."
+        )
     merged["folds"] = sorted(merged["folds"], key=lambda e: e["fold"])
     return merged
 

@@ -130,6 +130,13 @@ class MCDOPredictor:
         self._bag_fn = self._build_bag_fn()  # built once: predict_many stays warm
         self._starts_np = self._grid.tiles_array()[:, :2]
         self._warming = False  # set while a background warmup thread runs
+        # Buckets whose program has FINISHED compiling.  ``self._infers``
+        # registers the jit wrapper *before* its first call compiles it, so
+        # membership there does not mean "won't stall"; this set is updated
+        # only after a compile returns.  It is an immutable frozenset
+        # replaced atomically (reference assignment), so the warmup thread
+        # and request threads never iterate a mutating container.
+        self._compiled: frozenset[int] = frozenset()
 
     def _pick_bucket(self, arr, laterality: str) -> int:
         """Smallest sufficient registry bucket for a request, from the
@@ -301,19 +308,34 @@ class MCDOPredictor:
                 path = os.path.join(directory, name)
                 key = (b, np.dtype(dtype).name)
                 if os.path.exists(path):
-                    with open(path, "rb") as f:
-                        payload, in_tree, out_tree = pickle.load(f)
-                    # pin the single serving device: without this, loading
-                    # on a multi-local-device backend (the 8-CPU test mesh)
-                    # builds an executable expecting one shard per device
-                    self._aot[key] = se.deserialize_and_load(
-                        payload, in_tree, out_tree,
-                        execution_devices=[jax.devices()[0]],
-                    )
-                    hits += 1
-                    continue
+                    try:
+                        with open(path, "rb") as f:
+                            payload, in_tree, out_tree = pickle.load(f)
+                        # pin the single serving device: without this,
+                        # loading on a multi-local-device backend (the 8-CPU
+                        # test mesh) builds an executable expecting one
+                        # shard per device
+                        self._aot[key] = se.deserialize_and_load(
+                            payload, in_tree, out_tree,
+                            execution_devices=[jax.devices()[0]],
+                        )
+                        hits += 1
+                        self._compiled = self._compiled | {b}
+                        continue
+                    except Exception:  # noqa: BLE001
+                        # Stale or version-incompatible cache file (e.g. a
+                        # jax/jaxlib upgrade — the filename versions the
+                        # out_tree, not the runtime): drop it and fall
+                        # through to a fresh compile instead of killing
+                        # server startup.
+                        self._aot.pop(key, None)
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
                 compiled = self._infer_for(b).lower(*args).compile()
                 self._aot[key] = compiled
+                self._compiled = self._compiled | {b}
                 with open(path + ".tmp", "wb") as f:
                     pickle.dump(se.serialize(compiled), f)
                 os.replace(path + ".tmp", path)
@@ -367,6 +389,9 @@ class MCDOPredictor:
         def compile_one(dtype, b):
             zero, inv_max = _prepare_image(np.zeros(hw, dtype), None)
             self._infer_for(b)(zero, flip, seed, inv_max)
+            # Only now is bucket b safe to route requests to without a
+            # compile stall (see ``self._compiled`` in __init__).
+            self._compiled = self._compiled | {b}
 
         combos = [(d, b) for d in dtypes for b in dict.fromkeys(buckets)]
         if not background:
@@ -420,13 +445,16 @@ class MCDOPredictor:
         arr, inv_max = _prepare_image(image, pixel_max)
         flip = jnp.asarray(laterality == "R")
         bucket = self._pick_bucket(arr, laterality)
-        if getattr(self, "_warming", False) and bucket not in self._infers:
+        if getattr(self, "_warming", False) and bucket not in self._compiled:
             # Background warmup in progress: round up to the smallest
-            # already-compiled sufficient bucket (same result, more
-            # padding) instead of stalling this request on a cold compile.
-            compiled = sorted(b for b in self._infers if b >= bucket)
-            if compiled:
-                bucket = compiled[0]
+            # FINISHED-compiling sufficient bucket (same result, more
+            # padding) instead of stalling this request on a cold — or
+            # worse, in-progress — compile.  ``self._compiled`` is an
+            # immutable snapshot, safe to iterate while the warmup thread
+            # publishes new buckets.
+            done = sorted(b for b in self._compiled if b >= bucket)
+            if done:
+                bucket = done[0]
         # AOT-cached executable when one matches (exact shape + dtype);
         # the jitted program otherwise.
         aot = self._aot.get((bucket, arr.dtype.name))
@@ -446,6 +474,7 @@ class MCDOPredictor:
                 jnp.asarray(seed, jnp.int32),
                 inv_max,
             )
+            self._compiled = self._compiled | {bucket}
         maps = None
         if return_maps:
             maps = attention_map_stats(

@@ -136,6 +136,23 @@ def _load_image(path: str) -> np.ndarray:
     return np.asarray(img, np.float32)
 
 
+def _validate_request(req: dict) -> None:
+    """Reject malformed optional fields up front so one bad line costs one
+    ``{"error": ...}`` record, not the whole batch (the HTTP handler does
+    the same checks inside its 400 path)."""
+    seed = req.get("seed", 0)
+    if isinstance(seed, bool) or not isinstance(seed, int):
+        raise ValueError(f"seed must be an integer, got {seed!r}")
+    pm = req.get("pixel_max")
+    if pm is not None and (
+        isinstance(pm, bool) or not isinstance(pm, (int, float))
+    ):
+        raise ValueError(f"pixel_max must be a number, got {pm!r}")
+    k = req.get("map_downsample", 1)
+    if isinstance(k, bool) or not isinstance(k, int) or k < 1:
+        raise ValueError(f"map_downsample must be an integer >= 1, got {k!r}")
+
+
 def serve_jsonl(
     predictor: MCDOPredictor,
     in_stream,
@@ -188,8 +205,9 @@ def serve_jsonl(
         loaded: list[tuple[int, dict, np.ndarray]] = []
         for i, req in pending:
             try:
+                _validate_request(req)
                 loaded.append((i, req, _load_image(req["image"])))
-            except (KeyError, OSError, ValueError) as e:
+            except (KeyError, OSError, ValueError, TypeError) as e:
                 results[i] = {"error": str(e)}
         if loaded:
             rs = predictor.predict_many(
@@ -213,8 +231,9 @@ def serve_jsonl(
         if req.get("maps"):
             flush_pending()
             try:
+                _validate_request(req)
                 img = _load_image(req["image"])
-            except (KeyError, OSError, ValueError) as e:
+            except (KeyError, OSError, ValueError, TypeError) as e:
                 emit({"error": str(e)})
                 continue
             prefix = None

@@ -247,6 +247,27 @@ def test_load_cv_manifest_merges_per_process_files(tmp_path):
     assert [e["fold"] for e in single["folds"]] == [2]
     with pytest.raises(FileNotFoundError):
         load_cv_manifest(str(tmp_path / "nope"))
+    # a NEWER single-process manifest wins over stale per-process files
+    # (mixing generations would pair duplicate folds with mixed checkpoints)
+    fresh = {
+        "config": {"seed": 2},
+        "folds": [{"fold": 1, "checkpoint": "/tmp/new_f1", "accuracy": 0.9}],
+        "all_fold_accuracies": {"1": 0.9},
+    }
+    with open(tmp_path / "cv_manifest.json", "w") as f:
+        json.dump(fresh, f)
+    got = load_cv_manifest(str(tmp_path))
+    assert [e["checkpoint"] for e in got["folds"]] == ["/tmp/new_f1"]
+    # newer per-process files win over a stale single-process manifest
+    os.utime(tmp_path / "cv_manifest.json", (1, 1))
+    got = load_cv_manifest(str(tmp_path))
+    assert [e["fold"] for e in got["folds"]] == [1, 2, 3]
+    # duplicate folds ACROSS per-process files = stale mix -> loud error
+    os.remove(tmp_path / "cv_manifest.json")
+    with open(tmp_path / "cv_manifest_p2.json", "w") as f:
+        json.dump(p1, f)
+    with pytest.raises(ValueError, match="duplicate fold"):
+        load_cv_manifest(str(tmp_path))
 
 
 def test_cli_rejects_missing_command():

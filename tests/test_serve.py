@@ -291,6 +291,18 @@ def test_aot_warmup_roundtrips_executables(tmp_path):
     r = p2.predict(small, "L", seed=1)
     assert r.prediction in (0, 1)
 
+    # a stale/corrupt cache file must fall back to a fresh compile (and be
+    # replaced on disk), not crash startup
+    victim = sorted(tmp_path.glob("*.jaxexec"))[0]
+    victim.write_bytes(b"not a pickled executable")
+    p3 = make()
+    hits = p3.aot_warmup(str(tmp_path), dtypes=(np.float32,))
+    assert hits == 1  # the intact file; the corrupt one recompiled
+    c = p3.predict(img, "L", seed=2)
+    assert c.prediction == ref.prediction
+    p4 = make()  # the rewritten file round-trips again
+    assert p4.aot_warmup(str(tmp_path), dtypes=(np.float32,)) == 2
+
 
 @pytest.mark.slow
 def test_predict_many_and_warmup():

@@ -85,12 +85,24 @@ def test_serve_jsonl_matches_predict(predictor, tmp_path):
 @pytest.mark.slow
 def test_serve_jsonl_maps_and_errors(predictor, tmp_path):
     good = _write_requests(tmp_path, [{"seed": 1, "maps": True}])
-    text = good + 'not json\n' + json.dumps({"image": "/nope.npy"}) + "\n"
+    img_path = json.loads(good)["image"]
+    # malformed optional fields must cost ONE error line each, not the batch
+    bad_fields = [
+        {"image": img_path, "maps": True, "map_downsample": "full"},
+        {"image": img_path, "seed": None},
+        {"image": img_path, "pixel_max": "x"},
+        {"image": img_path, "map_downsample": 0},
+    ]
+    text = (
+        good + 'not json\n' + json.dumps({"image": "/nope.npy"}) + "\n"
+        + "".join(json.dumps(r) + "\n" for r in bad_fields)
+        + good  # a good request AFTER the bad ones still scores
+    )
     out = io.StringIO()
     n = serve_jsonl(
         predictor, io.StringIO(text), out, maps_dir=str(tmp_path / "maps")
     )
-    assert n == 3
+    assert n == 8
     lines = [json.loads(line) for line in out.getvalue().splitlines()]
     assert "attention_mean_maps" in lines[0]
     maps = np.load(lines[0]["attention_mean_maps"])
@@ -98,6 +110,9 @@ def test_serve_jsonl_maps_and_errors(predictor, tmp_path):
     assert np.load(lines[0]["attention_std_maps"]).shape == (2, 128, 128)
     assert "error" in lines[1]
     assert "error" in lines[2]
+    for bad in lines[3:7]:
+        assert "error" in bad
+    assert lines[7]["prediction"] == lines[0]["prediction"]
 
 
 @pytest.mark.slow

@@ -249,21 +249,10 @@ def run_stem_s2d():
     patches = jax.random.normal(key, (N, 224, 224, 3), jnp.bfloat16)
     w7 = jax.random.normal(key, (7, 7, 3, 64), jnp.float32) * 0.05
 
-    def s2d_kernel(w7):
-        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        return (
-            w8.reshape(4, 2, 4, 2, 3, 64)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 12, 64)
-        )
-
-    def s2d_input(p):
-        n, h, wd, c = p.shape
-        return (
-            p.reshape(n, h // 2, 2, wd // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, wd // 2, 4 * c)
-        )
+    from montecarlo_gated_mil_tpu.models.resnet import (
+        s2d_input,
+        s2d_stem_kernel as s2d_kernel,
+    )
 
     def conv7(p):
         return jax.lax.conv_general_dilated(
