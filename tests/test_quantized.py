@@ -187,6 +187,35 @@ def test_i8_conv_outputs_do_not_saturate(model_and_params):
 
 
 @pytest.mark.slow
+def test_quantized_r34_agrees_with_float():
+    """r34 (BasicBlock like r18, deeper stages) through the int8 plan:
+    reasonable feature cosine and prediction agreement with the float path."""
+    model = MultiHeadGatedAttentionMIL(backbone="r34", shared_attention=True)
+    key = jax.random.key(2)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((4, 64, 64, 3)),
+        jnp.ones(4, bool),
+    )
+    qp = quantize_backbone_static(variables["params"]["features"], "r34")
+    agree = 0
+    bags = _bags(5, n=8, seed=13)
+    for patches, mask in bags:
+        hf = model.apply(variables, patches, mask, method="embed")
+        hq = quantized_embed_static(qp, patches, mask, backbone="r34")
+        nv = int(mask.sum())
+        a, b = np.asarray(hf, np.float32)[:nv], np.asarray(hq, np.float32)[:nv]
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+        )
+        assert cos.min() > 0.8, cos.min()  # 33 quantized convs vs r18's 17
+        yf, _ = model.apply(variables, hf, mask, method="head")
+        yq, _ = model.apply(variables, hq.astype(jnp.float32), mask, method="head")
+        agree += int(jnp.argmax(yf) == jnp.argmax(yq))
+    assert agree >= len(bags) - 1
+
+
+@pytest.mark.slow
 def test_quantized_r50_bottleneck_agrees_with_float():
     model = MultiHeadGatedAttentionMIL(backbone="r50", shared_attention=True)
     key = jax.random.key(1)
