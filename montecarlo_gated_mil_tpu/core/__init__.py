@@ -6,5 +6,6 @@ from montecarlo_gated_mil_tpu.core.config import (  # noqa: F401
     TrainingParameters,
     TrainingPlan,
     TpuConfig,
+    config_from_dict,
     load_config,
 )

@@ -4,6 +4,7 @@ from montecarlo_gated_mil_tpu.utils.metrics import (  # noqa: F401
     Metrics,
     NeptuneSink,
     StdoutSink,
+    TensorBoardSink,
 )
 from montecarlo_gated_mil_tpu.utils.profiling import (  # noqa: F401
     PhaseTimer,
