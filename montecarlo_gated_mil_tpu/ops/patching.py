@@ -52,7 +52,14 @@ class TileGrid:
 
 def _start_points(size: int, split_size: int, overlap: float) -> list[int]:
     """Reference grid recurrence (``image_patcher.py:16-28``): stride steps,
-    last tile snapped to ``size - split_size``."""
+    last tile snapped to ``size - split_size``.
+
+    Intentional divergence: when ``size == split_size`` the reference appends
+    the border snap unconditionally and yields a duplicated start ``[0, 0]``
+    (four copies of the single tile after the row-major product); here the
+    snap is skipped when it repeats the previous start, so an exactly
+    one-patch image produces exactly one tile.
+    """
     points = [0]
     stride = int(split_size * (1 - overlap))
     if stride <= 0:
@@ -61,7 +68,8 @@ def _start_points(size: int, split_size: int, overlap: float) -> list[int]:
     while True:
         pt = stride * counter
         if pt + split_size >= size:
-            points.append(size - split_size)
+            if size - split_size != points[-1]:
+                points.append(size - split_size)
             break
         points.append(pt)
         counter += 1

@@ -42,10 +42,12 @@ def test_start_points_match_reference_recurrence(size, split, overlap):
     )
 
 
-def test_size_equals_patch_duplicates_tile():
-    """Reference parity quirk: when a dimension equals the patch size the
-    grid recurrence emits [0, 0] — a duplicated start point."""
-    assert _start_points(224, 224, 0.5) == [0, 0]
+def test_size_equals_patch_single_tile():
+    """Intentional divergence (see _start_points docstring): the reference
+    emits a duplicated start [0, 0] when a dimension equals the patch size;
+    here the border snap is deduped so an exact one-patch image is one tile."""
+    assert _start_points(224, 224, 0.5) == [0]
+    assert compute_tile_grid(224, 224, 224, 0.5).num_tiles == 1
 
 
 def test_grid_row_major_and_tile_records():

@@ -139,7 +139,7 @@ def test_tile_grid_geometry(hw):
         diffs = np.diff(starts)
         assert np.all(diffs > 0)
         assert np.all(diffs[:-1] == stride)
-        assert 0 < diffs[-1] <= stride or len(diffs) == 0
+        assert len(diffs) == 0 or 0 < diffs[-1] <= stride
     # row-major enumeration with dense (i, j) indices
     assert tiles.shape[0] == len(ys) * len(xs)
     np.testing.assert_array_equal(tiles[:, 4], np.repeat(np.arange(len(ys)), len(xs)))
