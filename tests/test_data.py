@@ -224,17 +224,18 @@ def test_bag_loader_multimodal_stacks_views():
     loader = BagLoader([rec], reader, cfg, multimodal=True)
     bag, _ = next(iter(loader.epoch(0)))
     n = int(bag.num_instances)
-    # W == patch_size -> the reference grid recurrence duplicates the single
-    # x column ([0, 0]), giving 2 rows x 2 cols = 4 tiles (parity quirk).
-    assert n == 4
+    # W == patch_size -> one x column (the reference's duplicate-start quirk
+    # is intentionally fixed; see ops/patching._start_points), so the stacked
+    # 128x64 image tiles as 2 rows x 1 col.
+    assert n == 2
     # un-normalize channel 0 to check MLO (0.75) is on top of CC (0.25);
     # the -20px translate zero-fills the right edge so check left columns.
     from montecarlo_gated_mil_tpu.data.pipeline import IMAGENET_MEAN, IMAGENET_STD
 
     patches = np.asarray(bag.patches)[:n, :, :, 0] * IMAGENET_STD[0] + IMAGENET_MEAN[0]
     ids = np.asarray(bag.tile_indices)[:n]
-    top = patches[ids < 2]  # grid rows 0..1 are the MLO half
-    bottom = patches[ids >= 2]
+    top = patches[ids == 0]  # grid row 0 is the MLO half
+    bottom = patches[ids == 1]
     np.testing.assert_allclose(top[:, :, :40], 0.75, atol=1e-5)
     np.testing.assert_allclose(bottom[:, :, :40], 0.25, atol=1e-5)
 
