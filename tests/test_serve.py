@@ -84,6 +84,30 @@ def test_predict_end_to_end():
 
 
 @pytest.mark.slow
+def test_predict_degenerate_inputs_degrade_gracefully():
+    """Degenerate requests never crash or emit NaN: an all-zero (or all-NaN)
+    image has zero valid tiles — the all-masked softmax pools a zero
+    embedding, the bias-free classifiers emit zero logits, and the result is
+    uniform class probabilities with ``num_instances == 0`` as the caller's
+    emptiness signal.  Off-size images resize to the pipeline geometry
+    (reference dataset.py:43-45 behavior) and predict normally."""
+    p = _predictor()
+    for img in (
+        np.zeros((128, 128), np.float32),
+        np.full((128, 128), np.nan, np.float32),
+    ):
+        r = p.predict(img, "L")
+        assert r.num_instances == 0
+        assert r.prediction == 0
+        assert float(r.stats.mean) == pytest.approx(0.5)
+        assert np.isfinite(float(r.stats.mean_entropy))
+        assert np.all(np.isfinite(np.asarray(r.attention.mean)))
+    r = p.predict(np.full((200, 90), 0.5, np.float32), "L")
+    assert r.num_instances > 0
+    assert 0.0 <= float(r.stats.mean) <= 1.0
+
+
+@pytest.mark.slow
 def test_predict_downsampled_maps_are_exact_box_means():
     """map_downsample=k ships the exact k-fold box mean of the
     full-resolution maps (device-side, so the fetch shrinks k^2-fold);

@@ -231,3 +231,33 @@ def test_checkpoint_roundtrip(tmp_path):
     back = ckpt.restore_params("best_abc", params)
     np.testing.assert_array_equal(np.asarray(back["b"]["x"]), np.ones((2, 2)))
     ckpt.close()
+
+
+@pytest.mark.slow
+def test_gradients_finite_through_all_masked_bag():
+    """A fully-padded bag (zero valid instances) must not poison training:
+    masked BN statistics, the all-masked softmax, and the where-guards all
+    have to keep gradients finite, not just the forward value.  (The classic
+    jnp.where-gradient NaN trap; the forward contract is pinned in
+    test_serve.py::test_predict_degenerate_inputs_degrade_gracefully.)"""
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    patches = jnp.zeros((8, 64, 64, 3))
+    variables = model.init(
+        {"params": key, "dropout": key}, patches, jnp.ones(8, bool)
+    )
+
+    def loss_fn(params):
+        Y, _, _ = model.apply(
+            {"params": params}, patches, jnp.zeros(8, bool), jnp.array(1),
+            train=True, rngs={"dropout": key},
+        )
+        return -jnp.mean(jax.nn.log_softmax(Y)[..., 1])
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss))
+    assert all(
+        bool(jnp.all(jnp.isfinite(g))) for g in jax.tree_util.tree_leaves(grads)
+    )
