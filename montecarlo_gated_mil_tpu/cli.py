@@ -52,6 +52,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                 "--resume", action="store_true",
                 help="resume from the latest training-state checkpoint",
             )
+        if name == "cv":
+            p.add_argument(
+                "--resume", action="store_true",
+                help="skip folds already completed by a crashed run "
+                "(cv_progress.json)",
+            )
         if name == "cv-eval":
             p.add_argument("--manifest", type=str, default=None)
         if name == "infer":
@@ -140,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "cv":
         from montecarlo_gated_mil_tpu.runners import run_cross_validation
 
-        run_cross_validation(cfg, metrics)
+        run_cross_validation(cfg, metrics, resume=args.resume)
     elif args.command == "cv-eval":
         from montecarlo_gated_mil_tpu.runners import run_cv_eval
 

@@ -267,12 +267,22 @@ def run_training(
     return {"best_model_path": path, "test_accuracy": acc, "report": report}
 
 
-def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
+def run_cross_validation(
+    cfg: Config, metrics: Metrics | None = None, resume: bool = False
+) -> dict:
     """k-fold CV with per-fold checkpoints and a JSON manifest.
 
     Multi-process (multi-slice) execution fans the independent folds out
     round-robin over processes and merges accuracies with one DCN allgather
     (``parallel/distributed.py``); single-process runs all folds locally.
+
+    Fold-level resume: completed folds are appended to an on-disk progress
+    file as they finish, so a crashed run restarted with ``resume=True``
+    (``cli cv --resume``) skips them.  Each fold's PRNG streams derive only
+    from (seed, fold), never from loop position, so the remaining folds
+    train identically to an uninterrupted run.  (The reference keeps no CV
+    progress at all — a crash at fold k loses folds 1..k-1,
+    ``/root/reference/cross_validation.py:57-114``.)
     """
     from montecarlo_gated_mil_tpu.parallel.distributed import (
         allgather_fold_accuracies,
@@ -285,8 +295,23 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
     my_folds = fold_assignment(
         cfg.data.cv_folds, jax.process_index(), jax.process_count()
     )
+    suffix = "" if jax.process_count() == 1 else f"_p{jax.process_index()}"
+    progress_path = os.path.join(cfg.model_path, f"cv_progress{suffix}.json")
     folds = []
+    if resume and os.path.exists(progress_path):
+        with open(progress_path) as f:
+            folds = [
+                entry for entry in json.load(f)
+                if os.path.exists(entry["checkpoint"])
+            ]
+        if folds:
+            print(
+                f"Resuming CV: folds {[f['fold'] for f in folds]} already done"
+            )
+    done = {entry["fold"] for entry in folds}
     for fold in my_folds:
+        if fold + 1 in done:
+            continue
         print(f"Fold {fold + 1}/{cfg.data.cv_folds}")
         model = build_model(cfg)
         data = get_fold_dataloaders(cfg, fold)
@@ -304,8 +329,13 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
         else:
             acc, report = test(model, best, data.test, metrics=metrics, fold=fold + 1)
         folds.append({"fold": fold + 1, "checkpoint": path, "accuracy": acc})
+        with open(progress_path, "w") as f:
+            json.dump(folds, f, indent=2, default=str)
+    folds.sort(key=lambda entry: entry["fold"])
     merged = allgather_fold_accuracies(
-        my_folds, [f["accuracy"] for f in folds], cfg.data.cv_folds
+        [entry["fold"] - 1 for entry in folds],
+        [entry["accuracy"] for entry in folds],
+        cfg.data.cv_folds,
     )
     agg = aggregate_fold_accuracies([merged[f] for f in sorted(merged)])
     manifest = {
@@ -314,12 +344,11 @@ def run_cross_validation(cfg: Config, metrics: Metrics | None = None) -> dict:
         "all_fold_accuracies": {str(k + 1): v for k, v in sorted(merged.items())},
         "accuracy": agg,
     }
-    suffix = (
-        "" if jax.process_count() == 1 else f"_p{jax.process_index()}"
-    )
     manifest_path = os.path.join(cfg.model_path, f"cv_manifest{suffix}.json")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
+    if os.path.exists(progress_path):
+        os.remove(progress_path)  # the manifest supersedes it
     print(f"CV accuracy: {agg['mean']:.4f} ± {agg['std']:.4f}")
     return manifest
 

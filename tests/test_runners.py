@@ -277,3 +277,43 @@ def test_cli_rejects_missing_command():
         main([])
     with pytest.raises(SystemExit):
         main(["train"])  # missing --config
+
+
+@pytest.mark.slow
+def test_cv_resume_skips_completed_folds(tmp_path):
+    """A crashed CV run resumes from its progress file: completed folds are
+    skipped (their checkpoints and accuracies reused) and the final manifest
+    matches an uninterrupted run, because per-fold PRNG streams derive from
+    (seed, fold) only.  The progress file is superseded by the manifest."""
+    from montecarlo_gated_mil_tpu.runners import run_cross_validation
+
+    cfg_full = _tiny_config(tmp_path / "full")
+    full = run_cross_validation(cfg_full)
+
+    cfg = _tiny_config(tmp_path / "resumed")
+    # Simulate a run that crashed after fold 1: a completed run's fold-1
+    # entry becomes the progress file, its manifest is deleted.
+    first = run_cross_validation(cfg)
+    progress = [first["folds"][0]]
+    os.remove(os.path.join(cfg.model_path, "cv_manifest.json"))
+    with open(os.path.join(cfg.model_path, "cv_progress.json"), "w") as f:
+        json.dump(progress, f)
+
+    resumed = run_cross_validation(cfg, resume=True)
+    # fold 1 reused (same checkpoint path), fold 2 retrained
+    assert resumed["folds"][0]["checkpoint"] == progress[0]["checkpoint"]
+    assert resumed["folds"][1]["fold"] == 2
+    # identical accuracies to the uninterrupted run (fold-stateless PRNG)
+    assert [f["accuracy"] for f in resumed["folds"]] == [
+        f["accuracy"] for f in full["folds"]
+    ]
+    assert resumed["accuracy"] == full["accuracy"]
+    assert not os.path.exists(os.path.join(cfg.model_path, "cv_progress.json"))
+    # progress entries whose checkpoints vanished are retrained, not trusted
+    with open(os.path.join(cfg.model_path, "cv_progress.json"), "w") as f:
+        json.dump([{"fold": 1, "checkpoint": "/nope/gone", "accuracy": 0.1}], f)
+    again = run_cross_validation(cfg, resume=True)
+    assert again["folds"][0]["checkpoint"] != "/nope/gone"
+    assert [f["accuracy"] for f in again["folds"]] == [
+        f["accuracy"] for f in full["folds"]
+    ]
