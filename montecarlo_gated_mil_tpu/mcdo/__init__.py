@@ -1,3 +1,8 @@
+from montecarlo_gated_mil_tpu.mcdo.ensemble import (  # noqa: F401
+    ensemble_mc_inference,
+    load_fold_ensemble,
+    stack_params,
+)
 from montecarlo_gated_mil_tpu.mcdo.sampling import (  # noqa: F401
     AttentionStats,
     MCOutputs,

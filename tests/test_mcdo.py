@@ -165,3 +165,75 @@ def test_mc_inference_batched_over_bags():
     preds, atts = jax.vmap(per_bag)(bags, masks, keys)
     assert preds.shape == (2, 3, 2) and atts.shape == (2, 3, 2, 8)
     assert not np.allclose(np.asarray(preds[0]), np.asarray(preds[1]))
+
+
+# ------------------------------------------------------------- fold ensemble
+
+
+def test_ensemble_mc_inference_pools_members():
+    """Pooled ensemble output == the concatenation of each member's own
+    mc_inference under fold_in(key, member); stats drop in unchanged."""
+    from montecarlo_gated_mil_tpu.mcdo import (
+        ensemble_mc_inference,
+        stack_params,
+    )
+
+    model, v0, patches, mask = _tiny_setup(seed=0)
+    _, v1, _, _ = _tiny_setup(seed=1)
+    stacked = stack_params([v0["params"], v1["params"]])
+    key = jax.random.key(9)
+    out = ensemble_mc_inference(model, stacked, patches, mask, 3, key)
+    assert out.predictions.shape == (6, 2)
+    assert out.attention.shape == (6, 2, 8)
+    assert out.aux_losses is None
+    for m, v in enumerate((v0, v1)):
+        solo = mc_inference(
+            model, v, patches, mask, 3, jax.random.fold_in(key, m)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.predictions[m * 3 : (m + 1) * 3]),
+            np.asarray(solo.predictions),
+            atol=1e-5,
+        )
+    # different members -> genuinely different samples in the pool
+    assert not np.allclose(
+        np.asarray(out.predictions[:3]), np.asarray(out.predictions[3:])
+    )
+    stats = predictive_stats(out.predictions)
+    assert 0.0 <= float(stats.mean) <= 1.0
+    att = attention_stats(out.attention, mask)
+    assert att.mean.shape == (2, 8)
+
+    with pytest.raises(ValueError, match="at least one"):
+        stack_params([])
+
+
+def test_load_fold_ensemble_from_manifest(tmp_path):
+    """Fold checkpoints restore against an init template and stack in fold
+    order regardless of manifest order."""
+    from montecarlo_gated_mil_tpu.core.config import config_from_dict
+    from montecarlo_gated_mil_tpu.mcdo import load_fold_ensemble
+    from montecarlo_gated_mil_tpu.train.state import Checkpointer
+
+    model, v0, _, _ = _tiny_setup(seed=3)
+    _, v1, _, _ = _tiny_setup(seed=4)
+    ckpt = Checkpointer(str(tmp_path))
+    p1 = ckpt.save_params("fold_1_x", v0["params"])
+    p2 = ckpt.save_params("fold_2_x", v1["params"])
+    # shared_att must match the fixture model (config default is the
+    # reference's separate-gates mode; _tiny_setup uses the shared gate)
+    cfg = config_from_dict(
+        {"seed": 0, "model_path": str(tmp_path), "model": "r18",
+         "shared_att": True, "data": {"H": 64, "W": 64, "patch_size": 32}}
+    )
+    manifest = {"folds": [
+        {"fold": 2, "checkpoint": p2, "accuracy": 0.5},
+        {"fold": 1, "checkpoint": p1, "accuracy": 0.5},
+    ]}
+    stacked = load_fold_ensemble(cfg, manifest)
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.shape[0] == 2
+    w0 = jax.tree_util.tree_leaves(v0["params"])[0]
+    np.testing.assert_allclose(
+        np.asarray(leaf[0]), np.asarray(w0), atol=1e-6
+    )
