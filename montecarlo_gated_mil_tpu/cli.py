@@ -60,6 +60,11 @@ def get_args_parser() -> argparse.ArgumentParser:
             )
         if name == "cv-eval":
             p.add_argument("--manifest", type=str, default=None)
+            p.add_argument(
+                "--ensemble", action="store_true",
+                help="also score the stacked fold ensemble (pooled MC "
+                "samples) on the shared test split",
+            )
         if name == "infer":
             p.add_argument("--out", type=str, default="figures")
             p.add_argument("--manifest", type=str, default=None)
@@ -150,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.command == "cv-eval":
         from montecarlo_gated_mil_tpu.runners import run_cv_eval
 
-        run_cv_eval(cfg, args.manifest, metrics)
+        run_cv_eval(cfg, args.manifest, metrics, ensemble=args.ensemble)
     elif args.command == "infer":
         from montecarlo_gated_mil_tpu.viz.infer import run_inference
 

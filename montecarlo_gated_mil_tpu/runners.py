@@ -410,8 +410,17 @@ def run_cv_eval(
     cfg: Config,
     manifest_path: str | None = None,
     metrics: Metrics | None = None,
+    ensemble: bool = False,
 ) -> dict:
-    """Re-evaluate saved fold models: timed MC vs deterministic test."""
+    """Re-evaluate saved fold models: timed MC vs deterministic test.
+
+    ``ensemble=True`` additionally scores the fold *ensemble* on the fixed
+    shared test split (CV's test set is identical across folds by
+    construction, ``data/splits.py``): all folds' checkpoints stack into one
+    parameter pytree and their pooled M*T MC samples vote via the mc_test
+    reduction — the standard deep-ensemble+MCDO upgrade the reference's
+    one-fold-at-a-time evaluation cannot produce.
+    """
     metrics = metrics or Metrics()
     manifest = load_cv_manifest(cfg.model_path, manifest_path)
     model = build_model(cfg)
@@ -454,4 +463,20 @@ def run_cv_eval(
         f"nMC-ACC: {result['deterministic']['mean']:.4f} ± "
         f"{result['deterministic']['std']:.4f}"
     )
+    if ensemble:
+        from montecarlo_gated_mil_tpu.mcdo.ensemble import load_fold_ensemble
+        from montecarlo_gated_mil_tpu.train.loops import ensemble_mc_test
+
+        stacked = load_fold_ensemble(cfg, manifest)
+        # the test split is fold-independent; any fold's loader serves
+        data = get_fold_dataloaders(cfg, 0)
+        ens_acc, ens_report = ensemble_mc_test(
+            model, stacked, data.test, num_samples=cfg.N,
+            key=rnglib.named_key(rnglib.root_key(cfg.seed), "ens-test"),
+            metrics=metrics,
+        )
+        result["ensemble"] = {"accuracy": ens_acc}
+        result["ensemble_report"] = ens_report.data
+        print(f"ENS-ACC ({len(manifest['folds'])} folds x T={cfg.N}): "
+              f"{ens_acc:.4f}")
     return result

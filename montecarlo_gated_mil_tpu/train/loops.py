@@ -489,3 +489,37 @@ def mc_test(
         preds.append(int(pred))
         targets.append(int(bag.label))
     return _finish_test(targets, preds, metrics, fold)
+
+
+def ensemble_mc_test(
+    model,
+    stacked_params,
+    loader: Iterable,
+    *,
+    num_samples: int = 50,
+    key: jax.Array,
+    metrics: Metrics | None = None,
+) -> tuple[float, "object"]:
+    """MC test of a fold ensemble: argmax of the softmax mean pooled over
+    all members' MC samples (``mc_test`` reduction semantics over M*T
+    samples; beyond-reference — the reference only evaluates folds one at a
+    time, ``/root/reference/cross_val_eval.py:100-138``).
+
+    Runs the exact float head (no Pallas/int8 variants): this is an accuracy
+    metric over the fixed shared test split, not a throughput path.
+    """
+    from montecarlo_gated_mil_tpu.mcdo.ensemble import ensemble_mc_inference
+
+    @jax.jit
+    def step(sp, patches, mask, k):
+        out = ensemble_mc_inference(model, sp, patches, mask, num_samples, k)
+        probs = jax.nn.softmax(out.predictions, axis=-1)
+        return jnp.argmax(probs.mean(axis=0))
+
+    preds, targets = [], []
+    items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
+    for i, (bag, _rec) in enumerate(items):
+        pred = step(stacked_params, bag.patches, bag.mask, jax.random.fold_in(key, i))
+        preds.append(int(pred))
+        targets.append(int(bag.label))
+    return _finish_test(targets, preds, metrics, None)

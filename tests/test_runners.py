@@ -158,10 +158,13 @@ def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
         loaded = json.load(f)
     assert loaded["folds"] == manifest["folds"]
 
-    # CV re-evaluation from the manifest store (MC + deterministic)
-    result = run_cv_eval(tiny_cfg, mpath, Metrics([MemorySink()]))
+    # CV re-evaluation from the manifest store (MC + deterministic +
+    # pooled fold ensemble on the shared test split)
+    result = run_cv_eval(tiny_cfg, mpath, Metrics([MemorySink()]), ensemble=True)
     assert len(result["mc"]["per_fold"]) == 2
     assert len(result["deterministic"]["per_fold"]) == 2
+    assert 0.0 <= result["ensemble"]["accuracy"] <= 1.0
+    assert {"Negative", "Positive"} <= set(result["ensemble_report"])
     # fold-averaged per-class P/R/F1 (cross_val_eval.py:37-56)
     for key in ("mc_report", "deterministic_report"):
         rep = result[key]
