@@ -267,6 +267,50 @@ def run_training(
     return {"best_model_path": path, "test_accuracy": acc, "report": report}
 
 
+def _load_cv_progress(model_path: str, my_folds: set) -> list[dict]:
+    """Validated read of CV progress files for resume.
+
+    Reads every ``cv_progress*.json`` (not just this process's suffix, so a
+    crashed multi-process run can resume under a different topology), keeps
+    entries that are well-formed, belong to this process's fold assignment,
+    and whose checkpoint still exists; dedupes by fold (first file wins).
+    A truncated/corrupt file — the crash window is mid-rewrite — is warned
+    about and skipped rather than aborting the resume."""
+    import glob
+
+    entries: dict[int, dict] = {}
+    for path in sorted(glob.glob(os.path.join(model_path, "cv_progress*.json"))):
+        try:
+            with open(path) as f:
+                loaded = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            print(f"ignoring unreadable CV progress file {path}: {e}")
+            continue
+        if not isinstance(loaded, list):
+            print(f"ignoring malformed CV progress file {path}")
+            continue
+        for entry in loaded:
+            fold = entry.get("fold") if isinstance(entry, dict) else None
+            if (
+                isinstance(fold, int)
+                and fold - 1 in my_folds
+                and fold not in entries
+                and "accuracy" in entry
+                and os.path.exists(str(entry.get("checkpoint", "")))
+            ):
+                entries[fold] = entry
+    return [entries[f] for f in sorted(entries)]
+
+
+def _write_cv_progress(progress_path: str, folds: list[dict]) -> None:
+    """Atomic rewrite: the progress file must survive a crash landing
+    mid-write (that crash window is the file's whole reason to exist)."""
+    tmp = progress_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(folds, f, indent=2, default=str)
+    os.replace(tmp, progress_path)
+
+
 def run_cross_validation(
     cfg: Config, metrics: Metrics | None = None, resume: bool = False
 ) -> dict:
@@ -298,12 +342,8 @@ def run_cross_validation(
     suffix = "" if jax.process_count() == 1 else f"_p{jax.process_index()}"
     progress_path = os.path.join(cfg.model_path, f"cv_progress{suffix}.json")
     folds = []
-    if resume and os.path.exists(progress_path):
-        with open(progress_path) as f:
-            folds = [
-                entry for entry in json.load(f)
-                if os.path.exists(entry["checkpoint"])
-            ]
+    if resume:
+        folds = _load_cv_progress(cfg.model_path, set(my_folds))
         if folds:
             print(
                 f"Resuming CV: folds {[f['fold'] for f in folds]} already done"
@@ -329,8 +369,7 @@ def run_cross_validation(
         else:
             acc, report = test(model, best, data.test, metrics=metrics, fold=fold + 1)
         folds.append({"fold": fold + 1, "checkpoint": path, "accuracy": acc})
-        with open(progress_path, "w") as f:
-            json.dump(folds, f, indent=2, default=str)
+        _write_cv_progress(progress_path, folds)
     folds.sort(key=lambda entry: entry["fold"])
     merged = allgather_fold_accuracies(
         [entry["fold"] - 1 for entry in folds],
@@ -347,8 +386,20 @@ def run_cross_validation(
     manifest_path = os.path.join(cfg.model_path, f"cv_manifest{suffix}.json")
     with open(manifest_path, "w") as f:
         json.dump(manifest, f, indent=2, default=str)
-    if os.path.exists(progress_path):
-        os.remove(progress_path)  # the manifest supersedes it
+    # The manifest supersedes progress.  Single-process runs also clear
+    # stale per-process progress files (e.g. after resuming a crashed
+    # multi-process run single-process); live multi-process runs only
+    # remove their own to avoid racing sibling processes.
+    import glob as _glob
+
+    stale = (
+        _glob.glob(os.path.join(cfg.model_path, "cv_progress*.json"))
+        if jax.process_count() == 1
+        else [progress_path]
+    )
+    for p in stale:
+        if os.path.exists(p):
+            os.remove(p)
     print(f"CV accuracy: {agg['mean']:.4f} ± {agg['std']:.4f}")
     return manifest
 
@@ -430,10 +481,12 @@ def run_cv_eval(
     )
     test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "cv-eval")
     mc_accs, det_accs, mc_reports, det_reports = [], [], [], []
+    fold_params: dict[int, object] = {}
     for entry in manifest["folds"]:
         fold = entry["fold"]
         data = get_fold_dataloaders(cfg, fold - 1)
         params = ckpt.restore_params(entry["checkpoint"], params_like)
+        fold_params[fold] = params
         t0 = time.time()
         mc_acc, mc_report = _mc_test(
             cfg, model, params, data.test,
@@ -464,10 +517,11 @@ def run_cv_eval(
         f"{result['deterministic']['std']:.4f}"
     )
     if ensemble:
-        from montecarlo_gated_mil_tpu.mcdo.ensemble import load_fold_ensemble
+        from montecarlo_gated_mil_tpu.mcdo.ensemble import stack_params
         from montecarlo_gated_mil_tpu.train.loops import ensemble_mc_test
 
-        stacked = load_fold_ensemble(cfg, manifest)
+        # members were restored in the fold loop above; stack in fold order
+        stacked = stack_params([fold_params[f] for f in sorted(fold_params)])
         # the test split is fold-independent; any fold's loader serves
         data = get_fold_dataloaders(cfg, 0)
         ens_acc, ens_report = ensemble_mc_test(

@@ -422,7 +422,7 @@ def _zero_criterion(logits, target):
 _ZERO_CRITERION = _zero_criterion
 
 
-def _finish_test(all_targets, all_preds, metrics, fold):
+def _finish_test(all_targets, all_preds, metrics, fold, prefix="test"):
     from montecarlo_gated_mil_tpu.evaluation.report import classification_report
 
     acc = float(np.mean(np.asarray(all_preds) == np.asarray(all_targets)))
@@ -431,11 +431,11 @@ def _finish_test(all_targets, all_preds, metrics, fold):
     report = classification_report(all_targets, all_preds)
     m = metrics or Metrics([])
     if fold is None:
-        m.log("test/accuracy", acc)
-        m.log("test/classification_report", report)
+        m.log(f"{prefix}/accuracy", acc)
+        m.log(f"{prefix}/classification_report", report)
     else:
-        m.log(f"test/accuracy_fold{fold}", acc)
-        m.log(f"test/classification_report_fold{fold}", report)
+        m.log(f"{prefix}/accuracy_fold{fold}", acc)
+        m.log(f"{prefix}/classification_report_fold{fold}", report)
     print(f"Test Accuracy: {acc:.4f}")
     print("Classification Report:\n", report)
     return acc, report
@@ -522,4 +522,6 @@ def ensemble_mc_test(
         pred = step(stacked_params, bag.patches, bag.mask, jax.random.fold_in(key, i))
         preds.append(int(pred))
         targets.append(int(bag.label))
-    return _finish_test(targets, preds, metrics, None)
+    # 'ensemble_test/' keys: a shared Metrics stream must not conflate the
+    # ensemble vote with a single-model 'test/accuracy'.
+    return _finish_test(targets, preds, metrics, None, prefix="ensemble_test")

@@ -320,3 +320,46 @@ def test_cv_resume_skips_completed_folds(tmp_path):
     assert [f["accuracy"] for f in again["folds"]] == [
         f["accuracy"] for f in full["folds"]
     ]
+
+
+def test_cv_progress_load_is_validated(tmp_path):
+    """Resume must survive the crash it exists for: corrupt/truncated
+    progress files are skipped with a warning, entries outside the fold
+    assignment or with missing checkpoints are dropped, per-process files
+    merge (topology change), duplicates dedupe first-file-wins, and the
+    rewrite is atomic (no .tmp left behind)."""
+    from montecarlo_gated_mil_tpu.runners import (
+        _load_cv_progress,
+        _write_cv_progress,
+    )
+
+    ck = tmp_path / "ck1"
+    ck.write_text("x")
+    good = {"fold": 1, "checkpoint": str(ck), "accuracy": 0.5}
+    # atomic write
+    path = str(tmp_path / "cv_progress.json")
+    _write_cv_progress(path, [good])
+    assert not os.path.exists(path + ".tmp")
+    assert _load_cv_progress(str(tmp_path), {0, 1}) == [good]
+    # truncated file (the mid-write crash) is skipped, not fatal
+    with open(tmp_path / "cv_progress_p1.json", "w") as f:
+        f.write('[{"fold": 2, "check')
+    assert _load_cv_progress(str(tmp_path), {0, 1}) == [good]
+    # out-of-assignment folds, missing checkpoints, malformed entries drop
+    bad = [
+        {"fold": 9, "checkpoint": str(ck), "accuracy": 0.5},   # not assigned
+        {"fold": 2, "checkpoint": "/nope", "accuracy": 0.5},   # gone
+        {"fold": "x", "checkpoint": str(ck), "accuracy": 0.5}, # malformed
+        {"fold": 2, "checkpoint": str(ck)},                    # no accuracy
+    ]
+    _write_cv_progress(str(tmp_path / "cv_progress_p1.json"), bad)
+    assert _load_cv_progress(str(tmp_path), {0, 1, 2}) == [good]
+    # multi-process progress merges under a single-process resume; duplicate
+    # folds dedupe with the first (sorted-path) file winning
+    dup = {"fold": 1, "checkpoint": str(ck), "accuracy": 0.9}
+    ck2 = tmp_path / "ck2"
+    ck2.write_text("y")
+    other = {"fold": 2, "checkpoint": str(ck2), "accuracy": 0.7}
+    _write_cv_progress(str(tmp_path / "cv_progress_p1.json"), [dup, other])
+    merged = _load_cv_progress(str(tmp_path), {0, 1})
+    assert merged == [good, other]  # cv_progress.json sorts before _p1
