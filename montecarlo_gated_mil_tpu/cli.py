@@ -69,6 +69,11 @@ def get_args_parser() -> argparse.ArgumentParser:
             p.add_argument("--out", type=str, default="figures")
             p.add_argument("--manifest", type=str, default=None)
             p.add_argument("--max-items", type=int, default=0)
+            p.add_argument(
+                "--ensemble", action="store_true",
+                help="one pooled fold-ensemble figure per item instead of "
+                "one per fold",
+            )
         if name == "bench":
             p.add_argument("--samples", type=int, default=30)
         if name == "serve":
@@ -160,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         from montecarlo_gated_mil_tpu.viz.infer import run_inference
 
         run_inference(cfg, out_dir=args.out, manifest_path=args.manifest,
-                      max_items=args.max_items)
+                      max_items=args.max_items, ensemble=args.ensemble)
     elif args.command == "bench":
         import json
 

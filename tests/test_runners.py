@@ -179,6 +179,12 @@ def test_run_cross_validation_and_eval_and_infer(tiny_cfg, tmp_path):
     assert len(out) == 2  # one per fold
     for p in out:
         assert os.path.exists(p + ".png") and os.path.exists(p + ".pdf")
+    # pooled fold-ensemble figures: one per item, under figures_ensemble/
+    out_e = run_inference(
+        tiny_cfg, out_dir=str(tmp_path / "figs"), max_items=1, ensemble=True
+    )
+    assert len(out_e) == 1 and "figures_ensemble" in out_e[0]
+    assert os.path.exists(out_e[0] + ".png")
 
 
 @pytest.mark.slow
