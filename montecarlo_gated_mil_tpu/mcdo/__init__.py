@@ -1,5 +1,6 @@
 from montecarlo_gated_mil_tpu.mcdo.ensemble import (  # noqa: F401
     ensemble_mc_inference,
+    ensemble_mc_inference_sharded,
     load_fold_ensemble,
     stack_params,
 )

@@ -101,3 +101,63 @@ def load_fold_ensemble(cfg, manifest: dict) -> dict:
         for entry in sorted(manifest["folds"], key=lambda e: e["fold"])
     ]
     return stack_params(members)
+
+
+def ensemble_mc_inference_sharded(
+    model,
+    stacked_params,
+    patches: Array,
+    mask: Array | None,
+    num_samples: int,
+    key: Array,
+    mesh,
+    axis: str = "data",
+) -> MCOutputs:
+    """Member-sharded ensemble MC inference over a device mesh.
+
+    Members are embarrassingly parallel (each embeds the replicated bag with
+    its own parameters; per-bag masked BN statistics are member-local, so no
+    cross-shard collectives are needed) — sharding the member axis over
+    ``mesh.shape[axis]`` devices scales near-linearly.  Per-member PRNG keys
+    fold in the GLOBAL member index, so results match the single-device
+    :func:`ensemble_mc_inference` for the same key regardless of mesh shape.
+
+    Requires the member count to divide the mesh axis size (pad the ensemble
+    with repeated members or use the unsharded form otherwise).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    m = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    size = mesh.shape[axis]
+    if m % size:
+        raise ValueError(f"member count {m} not divisible by {axis}={size}")
+    local_m = m // size
+
+    def block(params_blk, patches_in, mask_in, key_in):
+        shard = jax.lax.axis_index(axis)
+
+        def one_member(args):
+            params, j = args
+            member_key = jax.random.fold_in(key_in[0], shard * local_m + j)
+            h = model.apply(
+                {"params": params}, patches_in, mask_in, method="embed"
+            )
+            out = mc_head(
+                model, {"params": params}, h, mask_in, num_samples, member_key
+            )
+            return out.predictions, out.attention
+
+        return jax.lax.map(one_member, (params_blk, jnp.arange(local_m)))
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+    )
+    Y, A = f(stacked_params, patches, mask, key[None])
+    return MCOutputs(
+        predictions=Y.reshape((-1,) + Y.shape[2:]),
+        attention=A.reshape((-1,) + A.shape[2:]),
+        aux_losses=None,
+    )

@@ -518,3 +518,45 @@ def test_mc_test_dp_pending_cap_flushes_early_and_matches_sequential():
     )
     assert acc_dp == acc_seq
     assert rep_dp == rep_seq
+
+
+@pytest.mark.slow
+def test_ensemble_sharded_matches_unsharded():
+    """Member-sharded ensemble MC inference == the single-device pooled
+    result for the same key (global member indices drive the PRNG), on both
+    a full 8-way and a partial 4x2 mesh."""
+    from montecarlo_gated_mil_tpu.mcdo import (
+        ensemble_mc_inference,
+        stack_params,
+    )
+    from montecarlo_gated_mil_tpu.mcdo.ensemble import (
+        ensemble_mc_inference_sharded,
+    )
+
+    model = MultiHeadGatedAttentionMIL()
+    key = jax.random.key(0)
+    patches = jax.random.normal(key, (8, 32, 32, 3))
+    mask = jnp.arange(8) < 6
+    members = [
+        model.init(
+            {"params": jax.random.key(100 + i), "dropout": key}, patches, mask
+        )["params"]
+        for i in range(8)
+    ]
+    stacked = stack_params(members)
+    ref = ensemble_mc_inference(model, stacked, patches, mask, 3, jax.random.key(5))
+    for mesh in (make_mesh(), make_mesh(data=4, inst=2)):
+        got = ensemble_mc_inference_sharded(
+            model, stacked, patches, mask, 3, jax.random.key(5), mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.predictions), np.asarray(ref.predictions), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.attention), np.asarray(ref.attention), atol=2e-5
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        ensemble_mc_inference_sharded(
+            model, stack_params(members[:3]), patches, mask, 3,
+            jax.random.key(5), make_mesh(),
+        )
