@@ -105,13 +105,15 @@ def main() -> None:
           f"{[round(f['accuracy'], 3) for f in manifest['folds']]}")
 
     # 3. Re-evaluate every fold from the manifest, timed MCDO vs
-    #    deterministic (cross_val_eval.py).
-    print("== 3/5 CV re-evaluation (MC vs deterministic)")
+    #    deterministic (cross_val_eval.py), plus the pooled fold ensemble
+    #    (beyond-reference: all folds' checkpoints vote together).
+    print("== 3/5 CV re-evaluation (MC vs deterministic vs fold ensemble)")
     manifest_path = os.path.join(cfg.model_path, "cv_manifest.json")
-    ev = run_cv_eval(cfg, manifest_path, metrics)
+    ev = run_cv_eval(cfg, manifest_path, metrics, ensemble=True)
     print(f"   MC  acc {ev['mc']['mean']:.3f} +- {ev['mc']['std']:.3f}   "
           f"det acc {ev['deterministic']['mean']:.3f} "
-          f"+- {ev['deterministic']['std']:.3f}")
+          f"+- {ev['deterministic']['std']:.3f}   "
+          f"ens acc {ev['ensemble']['accuracy']:.3f}")
 
     # 4. MCDO inference + 5-panel attention/uncertainty figures (infer.py).
     print("== 4/5 uncertainty figures")
