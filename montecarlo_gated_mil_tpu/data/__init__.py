@@ -2,6 +2,7 @@ from montecarlo_gated_mil_tpu.data.pipeline import (  # noqa: F401
     BagLoader,
     PipelineConfig,
     canonicalize_image,
+    estimate_valid_tiles,
     image_to_bag,
     stack_multimodal,
 )
