@@ -39,6 +39,14 @@ def stack_params(params_list) -> dict:
     )
 
 
+def _member_forward(model, params, patches, mask, num_samples, member_key):
+    """One ensemble member's embed + T MC head passes (shared by the
+    single-device and member-sharded forms so they stay bit-identical)."""
+    h = model.apply({"params": params}, patches, mask, method="embed")
+    out = mc_head(model, {"params": params}, h, mask, num_samples, member_key)
+    return out.predictions, out.attention
+
+
 def ensemble_mc_inference(
     model,
     stacked_params,
@@ -64,11 +72,7 @@ def ensemble_mc_inference(
 
     def one_member(args):
         params, member_key = args
-        h = model.apply({"params": params}, patches, mask, method="embed")
-        out = mc_head(
-            model, {"params": params}, h, mask, num_samples, member_key
-        )
-        return out.predictions, out.attention
+        return _member_forward(model, params, patches, mask, num_samples, member_key)
 
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(m))
     Y, A = jax.lax.map(one_member, (stacked_params, keys))
@@ -80,22 +84,26 @@ def ensemble_mc_inference(
     )
 
 
-def load_fold_ensemble(cfg, manifest: dict) -> dict:
+def load_fold_ensemble(cfg, manifest: dict, *, template=None, ckpt=None) -> dict:
     """Stacked parameters from a CV manifest's fold checkpoints.
 
     ``manifest`` is ``run_cross_validation``'s output (or
     ``load_cv_manifest``'s merge); every fold entry's checkpoint is restored
-    against a freshly initialized template and stacked.  The members must
-    share the manifest's model config (they do by construction — CV builds
-    one model per fold from the same config).
+    against an initialized template and stacked in fold order.  The members
+    must share the manifest's model config (they do by construction — CV
+    builds one model per fold from the same config).  Callers that already
+    built the restore machinery pass ``template``/``ckpt`` to skip the
+    redundant model build + init jit (e.g. ``viz.infer.run_inference``).
     """
-    from montecarlo_gated_mil_tpu.experiment import build_model
-    from montecarlo_gated_mil_tpu.runners import init_params
     from montecarlo_gated_mil_tpu.train.state import Checkpointer
 
-    model = build_model(cfg)
-    template = init_params(model, jax.random.key(cfg.seed))
-    ckpt = Checkpointer(cfg.model_path)
+    if template is None:
+        from montecarlo_gated_mil_tpu.experiment import build_model
+        from montecarlo_gated_mil_tpu.runners import init_params
+
+        template = init_params(build_model(cfg), jax.random.key(cfg.seed))
+    if ckpt is None:
+        ckpt = Checkpointer(cfg.model_path)
     members = [
         ckpt.restore_params(entry["checkpoint"], template)
         for entry in sorted(manifest["folds"], key=lambda e: e["fold"])
@@ -122,8 +130,11 @@ def ensemble_mc_inference_sharded(
     fold in the GLOBAL member index, so results match the single-device
     :func:`ensemble_mc_inference` for the same key regardless of mesh shape.
 
-    Requires the member count to divide the mesh axis size (pad the ensemble
-    with repeated members or use the unsharded form otherwise).
+    Requires the mesh axis size to divide the member count (e.g. 8 members
+    on 4 devices = 2 per device).  When it doesn't — the canonical 5-fold
+    ensemble on an 8-device mesh — use the unsharded form or a smaller mesh
+    axis; do NOT pad with repeated members, which would weight the pooled
+    predictive distribution toward the repeats.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -139,13 +150,9 @@ def ensemble_mc_inference_sharded(
         def one_member(args):
             params, j = args
             member_key = jax.random.fold_in(key_in[0], shard * local_m + j)
-            h = model.apply(
-                {"params": params}, patches_in, mask_in, method="embed"
+            return _member_forward(
+                model, params, patches_in, mask_in, num_samples, member_key
             )
-            out = mc_head(
-                model, {"params": params}, h, mask_in, num_samples, member_key
-            )
-            return out.predictions, out.attention
 
         return jax.lax.map(one_member, (params_blk, jnp.arange(local_m)))
 

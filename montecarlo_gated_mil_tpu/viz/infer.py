@@ -91,20 +91,19 @@ def run_inference(
     if ensemble:
         from montecarlo_gated_mil_tpu.mcdo.ensemble import (
             ensemble_mc_inference,
-            stack_params,
+            load_fold_ensemble,
         )
 
-        members = [
-            ckpt.restore_params(entry["checkpoint"], params_like)
-            for entry in sorted(manifest["folds"], key=lambda e: e["fold"])
-        ]
-        stacked = stack_params(members)
+        stacked = load_fold_ensemble(
+            cfg, manifest, template=params_like, ckpt=ckpt
+        )
+        n_members = len(manifest["folds"])
         # the test split is fold-independent; any fold's loader serves
         data = get_fold_dataloaders(cfg, 0)
         dest = os.path.join(out_dir, "figures_ensemble")
         os.makedirs(dest, exist_ok=True)
         grid = data.test.cfg.grid()
-        total = len(members) * cfg.N
+        total = n_members * cfg.N
         for j, (bag, rec) in enumerate(data.test.epoch(0)):
             if max_items and j >= max_items:
                 break
@@ -115,7 +114,7 @@ def run_inference(
             saved.append(
                 _render_item(out, bag, rec, grid, data.test.reader, dest, j, total)
             )
-            print(f"done: {j + 1}/{len(data.test)} (ensemble of {len(members)})")
+            print(f"done: {j + 1}/{len(data.test)} (ensemble of {n_members})")
         return saved
     for entry in manifest["folds"]:
         fold = entry["fold"]
