@@ -12,6 +12,7 @@ respects, so padded instances contribute exactly nothing.
 from __future__ import annotations
 
 import bisect
+import math
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -76,6 +77,21 @@ class BucketSpec:
             return self.sizes[0]
         i = bisect.bisect_left(self.sizes, n)
         return self.sizes[min(i, len(self.sizes) - 1)]
+
+    def extended_bucket(self, n: int, multiple_of: int = 1) -> int:
+        """Padded size for an OVERSIZED bag (``n > max_size``) that must not
+        be truncated: the smallest multiple of ``lcm(max_size, multiple_of)``
+        >= n.  Quantizing to ``max_size`` bounds the number of distinct XLA
+        programs oversized bags can create (ceil(grid_tiles / max_size)
+        variants at most); ``multiple_of`` additionally makes the size
+        divisible by the instance-sharding mesh extent so
+        ``parallel/instance.py`` can split it evenly across chips.  The
+        reference keeps every above-threshold tile when ``bag_size`` is -1
+        (``/root/reference/image_patcher.py:115-131``, ``config.yml:30-32``);
+        this is the static-shape equivalent.
+        """
+        q = math.lcm(self.max_size, max(1, multiple_of))
+        return -(-max(n, 1) // q) * q
 
     @property
     def max_size(self) -> int:

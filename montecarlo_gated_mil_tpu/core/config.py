@@ -80,6 +80,11 @@ class SchedulerConfig:
     name: str = "none"  # 'none' | 'lin' | 'step' | 'cosine'
     step_size: int = 100
     gamma: float = 0.9
+    # Decay-point units.  'epoch' (default) matches torch StepLR — the
+    # scheduler the reference declares steps per epoch — with decay points
+    # landing exactly on epoch boundaries (train/optim.py converts via
+    # steps-per-epoch).  'step' counts optimizer steps instead.
+    unit: str = "epoch"
 
 
 @dataclass(frozen=True)
@@ -110,6 +115,11 @@ class TrainingPlan:
             raise ValueError(f"criterion must be one of {_CRITERIA}")
         if self.optimizer.lower() not in _OPTIMIZERS:
             raise ValueError(f"optimizer must be one of {_OPTIMIZERS}")
+        if self.scheduler.unit.lower() not in ("epoch", "step"):
+            raise ValueError(
+                f"scheduler.unit must be 'epoch' or 'step', "
+                f"got {self.scheduler.unit!r}"
+            )
 
 
 @dataclass(frozen=True)
@@ -132,6 +142,14 @@ class TpuConfig:
     mesh_inst: int = 1
     donate_buffers: bool = True
     use_pallas_attention: bool = True
+    # Run the TRAINING step's gated-attention head through the fused Pallas
+    # kernel (fwd + custom-VJP bwd) instead of the jnp head.  Off by
+    # default: the train step is embed-dominated (the head is one T=1
+    # sample), so the measured end-to-end win is marginal — see
+    # docs/PERFORMANCE.md §train-step audit.  Gradient parity at dropout 0
+    # is pinned in tests/test_train.py; with dropout on, draws come from the
+    # hardware PRNG (statistically equivalent, not bit-identical).
+    use_pallas_train: bool = False
     # Opt-in int8 MXU inference: post-training-quantized embedding with
     # static k-sigma activation scales (ops/quantized.py) — ~1.3x embed on
     # v5e, feature cosine ~0.995 vs the float path.  Serving + bench only;
@@ -162,6 +180,18 @@ class TpuConfig:
     # padded embedding compute); data-parallel eval groups bags per bucket
     # before stacking, so this composes with sharded evaluation.
     adaptive_buckets: bool = True
+    # What to do with a bag whose valid-tile count exceeds the largest
+    # bucket (possible at dense high-overlap eval geometries; the reference
+    # keeps EVERY above-threshold tile when bag_size is -1,
+    # /root/reference/image_patcher.py:115-131 + config.yml:30-32):
+    #  - 'extend' (default): pad to a max_size-quantized extended bucket and
+    #    keep every tile; evaluation routes such bags to the instance-
+    #    sharded path (parallel/instance.py) when a multi-device mesh is
+    #    available, else runs them whole on the single device.
+    #  - 'truncate': cap at the largest bucket, dropping the LOWEST-fill
+    #    tiles — with a loud warning and a loader-side truncated-bag count
+    #    (never silent).
+    oversized_bags: str = "extend"
     # Multi-process (multi-slice) execution: when coordinator_address is
     # set, the CLI calls jax.distributed.initialize before first jax use and
     # CV folds fan out round-robin over processes (parallel/distributed.py).
@@ -184,6 +214,11 @@ class TpuConfig:
             raise ValueError(
                 f"buckets must be multiples of 8 (TPU sublane tiling; "
                 f"required by the Pallas attention kernel), got {bad}"
+            )
+        if self.oversized_bags not in ("extend", "truncate"):
+            raise ValueError(
+                f"oversized_bags must be 'extend' or 'truncate', "
+                f"got {self.oversized_bags!r}"
             )
 
 

@@ -239,12 +239,21 @@ class BagLoader:
     (CC, MLO) pair in multimodal mode) in [0, 1].
 
     With ``bucket_spec`` set, the loader picks the smallest registry bucket
-    that fits each bag's valid-tile count (one cheap counting pass, then the
-    per-bucket extract program) instead of always padding to ``cfg.bucket``
-    — sparse mammograms then skip most of the padded embedding compute.
-    XLA program count stays bounded by ``len(bucket_spec.sizes)`` per stage.
-    Data-parallel evaluation groups bags per bucket before stacking
+    that fits each bag's valid-tile count (a host-side subsampled fill
+    estimate — no device work on the hot path — then the per-bucket extract
+    program) instead of always padding to ``cfg.bucket`` — sparse mammograms
+    then skip most of the padded embedding compute.  XLA program count stays
+    bounded by ``len(bucket_spec.sizes)`` per stage.  Data-parallel
+    evaluation groups bags per bucket before stacking
     (``evaluation/dp_eval.py``), so mixed buckets compose with sharded eval.
+
+    ``oversized`` controls bags whose valid-tile count exceeds ``cfg.bucket``
+    (the reference keeps EVERY above-threshold tile when ``bag_size`` is -1,
+    ``/root/reference/image_patcher.py:115-131``): ``'extend'`` (default)
+    pads them to a quantized extended bucket (``BucketSpec.extended_bucket``,
+    divisible by the local device count so evaluation can instance-shard
+    them); ``'truncate'`` caps at ``cfg.bucket``, dropping the lowest-fill
+    tiles — with a warning and a ``truncated_bags`` counter, never silently.
     """
 
     def __init__(
@@ -260,9 +269,14 @@ class BagLoader:
         sample_weights: Sequence[float] | None = None,
         prefetch: int = 2,
         bucket_spec: "BucketSpec | None" = None,
+        oversized: str = "extend",
     ):
         if sample_order is not None and sample_weights is not None:
             raise ValueError("pass sample_order or sample_weights, not both")
+        if oversized not in ("extend", "truncate"):
+            raise ValueError(
+                f"oversized must be 'extend' or 'truncate', got {oversized!r}"
+            )
         self.records = list(records)
         self.reader = reader
         self.cfg = cfg
@@ -273,7 +287,12 @@ class BagLoader:
         self.sample_weights = sample_weights
         self.prefetch = prefetch
         self.bucket_spec = bucket_spec
-        self._starts = jnp.asarray(cfg.grid().tiles_array()[:, :2])
+        self.oversized = oversized
+        self.truncated_bags = 0  # bags that lost tiles under 'truncate'
+        self._warned_truncation = False
+        self._starts_np = cfg.grid().tiles_array()[:, :2]
+        self._starts = jnp.asarray(self._starts_np)
+        self._num_candidates = cfg.grid().num_tiles
 
     def __len__(self) -> int:
         if self.sample_order is not None:
@@ -327,13 +346,56 @@ class BagLoader:
         )
         img = jnp.asarray(image, jnp.float32)
         flip = jnp.asarray(rec.laterality == "R")
-        cfg = self.cfg
-        if self.bucket_spec is not None:
-            n = int(count_valid_tiles(img, flip, self._starts, cfg))
-            bucket = min(self.bucket_spec.bucket_for(n), cfg.bucket)
-            cfg = replace(cfg, bucket=bucket)
+        cfg = replace(self.cfg, bucket=self._pick_bucket(image, rec, img, flip))
         bag = image_to_bag(img, flip, rec.label, key, self._starts, cfg)
         return bag, rec
+
+    def _pick_bucket(self, image: np.ndarray, rec, img, flip) -> int:
+        """Per-bag bucket from a host-side valid-tile estimate.
+
+        No blocking device readback on the hot path: the subsampled-SAT
+        estimator (:func:`estimate_valid_tiles`, ~5 ms at production size,
+        margin-safe) replaces the exact device count the round-3 loader
+        paid ~25 ms tunnel RTT per bag for; the exact count is only used
+        when the image shape mismatches the pipeline (the resize path,
+        where the subsampled geometry no longer maps).
+        """
+        cfg = self.cfg
+        # Can this bag even exceed the cap?  Only when the grid offers more
+        # candidates than the cap bucket and bag_size doesn't already cap
+        # below it (positive bag_size <= bucket mirrors the reference cap,
+        # image_patcher.py:127-128).
+        may_overflow = self._num_candidates > cfg.bucket and (
+            cfg.bag_size <= 0 or cfg.bag_size > cfg.bucket
+        )
+        if self.bucket_spec is None and not may_overflow:
+            return cfg.bucket
+        n = estimate_valid_tiles(image, rec.laterality == "R", self._starts_np, cfg)
+        if n is None:
+            n = int(count_valid_tiles(img, flip, self._starts, cfg))
+        if may_overflow and n > cfg.bucket:
+            if self.oversized == "extend":
+                spec = self.bucket_spec or BucketSpec((cfg.bucket,))
+                # Divisible by the local device count so the oversized bag
+                # can instance-shard across the mesh (parallel/instance.py).
+                mult = jax.device_count() if jax.process_count() == 1 else 1
+                return spec.extended_bucket(n, multiple_of=mult)
+            self.truncated_bags += 1
+            if not self._warned_truncation:
+                self._warned_truncation = True
+                import warnings
+
+                warnings.warn(
+                    f"bag with ~{n} valid tiles truncated to bucket "
+                    f"{cfg.bucket} (lowest-fill tiles dropped; "
+                    "tpu.oversized_bags='truncate'); set "
+                    "oversized_bags='extend' to keep every tile",
+                    stacklevel=3,
+                )
+            return cfg.bucket
+        if self.bucket_spec is not None:
+            return min(self.bucket_spec.bucket_for(n), cfg.bucket)
+        return cfg.bucket
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[Bag, BagRecord]]:
         """Yield ``(Bag, record)`` with background prefetch."""

@@ -41,13 +41,22 @@ def mc_test_dp(
     fold: int | None = None,
     quantized: bool = False,
     pending_budget_bytes: int = 1 << 31,
+    shard_over: int | None = None,
 ) -> tuple[float, str]:
     """Sharded equivalent of ``loops.mc_test`` (same reduction: argmax of
     MC-mean softmax, ``net_utils.py:207-210``).  ``quantized`` embeds
     through the int8 PTQ path, matching the sequential loop's flag.
     ``pending_budget_bytes`` bounds device-resident partial groups (default
-    2 GiB; always at least one full mesh batch of the largest bag seen)."""
-    from montecarlo_gated_mil_tpu.train.loops import _finish_test
+    2 GiB; always at least one full mesh batch of the largest bag seen).
+    ``shard_over``: OVERSIZED bags (bucket above it) skip data-parallel
+    grouping — a per-device shard of the data axis could not hold them —
+    and instead evaluate one at a time with the instance axis sharded over
+    ALL devices (``parallel/instance.py``; float path)."""
+    from montecarlo_gated_mil_tpu.train.loops import (
+        _finish_test,
+        _mc_test_step_sharded,
+        _shard_mesh_for,
+    )
 
     mesh = mesh or make_mesh()
     batch = int(mesh.shape["data"])
@@ -80,6 +89,13 @@ def mc_test_dp(
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         targets.append(int(bag.label))
+        if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            results[i] = int(
+                _mc_test_step_sharded(model, num_samples)(
+                    params, bag.patches, bag.mask, jax.random.fold_in(key, i)
+                )
+            )
+            continue
         for group in batcher.add(bag, i):
             flush(group)
     for group in batcher.drain():

@@ -56,8 +56,11 @@ def build_criterion(cfg: Config) -> Callable:
     return make_criterion(cfg.training_plan.criterion)
 
 
-def build_optimizer(cfg: Config):
-    return make_optimizer(cfg.training_plan)
+def build_optimizer(cfg: Config, steps_per_epoch: int = 1):
+    """Optimizer from config.  ``steps_per_epoch`` (= ceil(train bags /
+    grad_acc_steps)) places epoch-unit scheduler decays on epoch boundaries
+    (torch StepLR semantics; see ``train/optim.py::make_schedule``)."""
+    return make_optimizer(cfg.training_plan, steps_per_epoch)
 
 
 @dataclass
@@ -148,7 +151,8 @@ def _bundle(
         _, sample_w = class_weights(train_recs)
     mm = cfg.data.multimodal and not getattr(cfg.data, "synthetic_count", 0)
     mk = lambda r, pc, **kw: BagLoader(  # noqa: E731
-        r, reader, pc, multimodal=mm, seed=cfg.seed, **kw
+        r, reader, pc, multimodal=mm, seed=cfg.seed,
+        oversized=cfg.tpu.oversized_bags, **kw
     )
     # Adaptive buckets apply to eval too: sequential eval compiles one
     # program per bucket, and dp_eval groups bags per bucket before stacking.

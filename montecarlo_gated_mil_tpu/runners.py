@@ -60,6 +60,13 @@ from montecarlo_gated_mil_tpu.train.state import (
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
+def _shard_over(cfg: Config) -> int:
+    """Bags padded past the largest registry bucket are OVERSIZED (the
+    loader's oversized_bags='extend' output); eval loops route them to the
+    instance-sharded path when a mesh is available (train/loops.py)."""
+    return max(cfg.tpu.buckets)
+
+
 def _use_pallas(cfg: Config) -> bool:
     """Fused-kernel eligibility: enabled and on TPU (both gate modes —
     shared and separate per-class — have fused kernels)."""
@@ -86,11 +93,12 @@ def _mc_test(cfg: Config, model, params, loader, *, key, metrics, fold):
         return mc_test_dp(
             model, params, loader, num_samples=cfg.N, key=key,
             metrics=metrics, fold=fold, quantized=quantized,
+            shard_over=_shard_over(cfg),
         )
     return mc_test(
         model, params, loader, num_samples=cfg.N, key=key,
         metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg),
-        quantized=quantized,
+        quantized=quantized, shard_over=_shard_over(cfg),
     )
 
 
@@ -157,7 +165,14 @@ def _fit(
     if fold is not None:
         params_key = jax.random.fold_in(params_key, fold)
     criterion = build_criterion(cfg)
-    optimizer = build_optimizer(cfg)
+    # Epoch-unit scheduler decays need the optimizer steps one epoch
+    # produces: step every grad_acc_steps bags plus the epoch-end flush
+    # (train/loops.py), i.e. ceil(bags / k).  Iterable-only loaders fall
+    # back to 1 (decays then count optimizer steps; documented in optim.py).
+    n_train = len(data.train) if hasattr(data.train, "__len__") else None
+    k = cfg.training_plan.parameters.grad_acc_steps
+    steps_per_epoch = max(1, -(-n_train // k)) if n_train else 1
+    optimizer = build_optimizer(cfg, steps_per_epoch)
     params = initial_params(cfg, model, params_key)
     state = TrainState.create(params, optimizer)
     # Data-parallel training (BASELINE config 4): one SPMD step per mesh-
@@ -178,15 +193,20 @@ def _fit(
         dp_step, dp_apply = make_dp_train_step(model, criterion, optimizer, mesh)
     else:
         step_fn = make_train_step(
-            model, criterion, optimizer, cfg.training_plan.parameters.grad_acc_steps
+            model, criterion, optimizer,
+            cfg.training_plan.parameters.grad_acc_steps,
+            use_pallas=cfg.tpu.use_pallas_train and _use_pallas(cfg),
         )
     stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
     val_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-val")
     start_epoch = 1
     if resume and checkpointer is not None and checkpointer.latest_step() is not None:
-        state, meta = checkpointer.restore(state)
+        state, meta, best = checkpointer.restore(state)
         stopper.load_state_dict(meta["early_stop"])
+        # Without this, a resumed run that never improves on the pre-crash
+        # best_loss would fall back to final-epoch params at save time.
+        stopper.best_params = best
         start_epoch = int(meta["epoch"]) + 1
         print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
     for epoch in range(start_epoch, cfg.training_plan.parameters.epochs + 1):
@@ -219,17 +239,20 @@ def _fit(
                 model, state.params, data.val, criterion,
                 epoch=epoch, num_samples=cfg.N, key=val_key,
                 metrics=metrics, fold=fold, use_pallas=_use_pallas(cfg),
+                shard_over=_shard_over(cfg),
             )
         else:
             val_loss = validate(
                 model, state.params, data.val, criterion,
                 epoch=epoch, metrics=metrics, fold=fold,
+                shard_over=_shard_over(cfg),
             )
         stop = stopper(val_loss, state.params)
         every = cfg.tpu.checkpoint_every
         if checkpointer is not None and every and (epoch % every == 0 or stop):
             checkpointer.save(
-                epoch, state, epoch=epoch, early_stop=stopper.state_dict()
+                epoch, state, epoch=epoch, early_stop=stopper.state_dict(),
+                best_params=stopper.best_params,
             )
         if stop:
             print(f"Early stopping at epoch {epoch}")
@@ -263,7 +286,9 @@ def run_training(
     # Rebuild + reload (exercises the restore path like main.py:97-105).
     model2 = build_model(cfg)
     params = ckpt.restore_params(name, best)
-    acc, report = test(model2, params, data.test, metrics=metrics)
+    acc, report = test(
+        model2, params, data.test, metrics=metrics, shard_over=_shard_over(cfg)
+    )
     return {"best_model_path": path, "test_accuracy": acc, "report": report}
 
 
@@ -355,7 +380,20 @@ def run_cross_validation(
         print(f"Fold {fold + 1}/{cfg.data.cv_folds}")
         model = build_model(cfg)
         data = get_fold_dataloaders(cfg, fold)
-        state, stopper = _fit(cfg, model, data, metrics, fold=fold + 1)
+        # Per-fold epoch checkpointing: each fold gets its own directory so
+        # tpu.checkpoint_every is honored under CV and --resume continues
+        # MID-fold at the checkpointed epoch (fold PRNG streams derive only
+        # from (seed, fold), so this composes with the fold-level resume
+        # above).  The reference loses all of a fold's epochs to a crash
+        # (/root/reference/cross_validation.py:96-114).
+        fold_ckpt = Checkpointer(
+            os.path.join(cfg.model_path, f"fold_{fold + 1}", "train_state"),
+            async_save=cfg.tpu.async_checkpointing,
+        )
+        state, stopper = _fit(
+            cfg, model, data, metrics, fold=fold + 1,
+            checkpointer=fold_ckpt, resume=resume,
+        )
         best = stopper.best_params if stopper.best_params is not None else state.params
         name = f"fold_{fold + 1}_{uuid.uuid4().hex}"
         path = ckpt.save_params(name, best)
@@ -367,7 +405,10 @@ def run_cross_validation(
                 metrics=metrics, fold=fold + 1,
             )
         else:
-            acc, report = test(model, best, data.test, metrics=metrics, fold=fold + 1)
+            acc, report = test(
+                model, best, data.test, metrics=metrics, fold=fold + 1,
+                shard_over=_shard_over(cfg),
+            )
         folds.append({"fold": fold + 1, "checkpoint": path, "accuracy": acc})
         _write_cv_progress(progress_path, folds)
     folds.sort(key=lambda entry: entry["fold"])
@@ -428,13 +469,26 @@ def load_cv_manifest(model_path: str, manifest_path: str | None = None) -> dict:
     # A single-process manifest and a per-process set can coexist when the
     # same model_path hosted runs of both kinds: merging across generations
     # would pair duplicate fold numbers with mixed-generation checkpoints.
-    # Use whichever generation is newer on disk.
+    # Use whichever generation is newer on disk — and SAY which was picked:
+    # mtimes can be rewritten by a backup restore, so a wrong pick must at
+    # least be diagnosable from the output.
     if os.path.exists(single) and (
         not per_proc
         or os.path.getmtime(single) >= max(map(os.path.getmtime, per_proc))
     ):
+        if per_proc:
+            print(
+                f"Using single-process manifest {single} (newer on disk than "
+                f"{len(per_proc)} per-process cv_manifest_p*.json; pass an "
+                "explicit manifest_path if that is not the run you want)"
+            )
         with open(single) as f:
             return json.load(f)
+    if os.path.exists(single):
+        print(
+            f"Using {len(per_proc)} per-process manifests (newer on disk "
+            f"than {single}; pass an explicit manifest_path to override)"
+        )
     merged: dict | None = None
     for path in per_proc:
         with open(path) as f:
@@ -481,12 +535,15 @@ def run_cv_eval(
     )
     test_key = rnglib.named_key(rnglib.root_key(cfg.seed), "cv-eval")
     mc_accs, det_accs, mc_reports, det_reports = [], [], [], []
+    # Retained only for the ensemble vote: k full ResNet trees are ~0.5 GB
+    # at r50 x 5 folds, so the plain eval path must not keep them live.
     fold_params: dict[int, object] = {}
     for entry in manifest["folds"]:
         fold = entry["fold"]
         data = get_fold_dataloaders(cfg, fold - 1)
         params = ckpt.restore_params(entry["checkpoint"], params_like)
-        fold_params[fold] = params
+        if ensemble:
+            fold_params[fold] = params
         t0 = time.time()
         mc_acc, mc_report = _mc_test(
             cfg, model, params, data.test,
@@ -494,7 +551,10 @@ def run_cv_eval(
         )
         mc_time = time.time() - t0
         t0 = time.time()
-        det_acc, det_report = test(model, params, data.test, metrics=metrics, fold=fold)
+        det_acc, det_report = test(
+            model, params, data.test, metrics=metrics, fold=fold,
+            shard_over=_shard_over(cfg),
+        )
         det_time = time.time() - t0
         print(
             f"fold {fold}: MC-ACC {mc_acc:.4f} ({mc_time:.2f}s)  "

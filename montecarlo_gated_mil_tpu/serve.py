@@ -87,7 +87,13 @@ class MCDOPredictor:
         use_pallas: bool | None = None,
         quantized: bool = False,
         bucket_spec=None,
+        oversized: str = "extend",
     ):
+        if oversized not in ("extend", "truncate"):
+            raise ValueError(
+                f"oversized must be 'extend' or 'truncate', got {oversized!r}"
+            )
+        self.oversized = oversized
         self.model = model
         self.params = params
         self.pipeline = pipeline
@@ -134,35 +140,81 @@ class MCDOPredictor:
         # registers the jit wrapper *before* its first call compiles it, so
         # membership there does not mean "won't stall"; this set is updated
         # only after a compile returns.  It is an immutable frozenset
-        # replaced atomically (reference assignment), so the warmup thread
-        # and request threads never iterate a mutating container.
+        # replaced atomically, so readers never iterate a mutating
+        # container; the replacement itself is a read-modify-write from
+        # both the warmup thread and request threads, so it goes through
+        # ``_mark_compiled``'s lock (a lost update would only cost extra
+        # padding, but there is no reason to allow one).
+        import threading as _threading
+
         self._compiled: frozenset[int] = frozenset()
+        self._compiled_lock = _threading.Lock()
+
+    def _mark_compiled(self, bucket: int) -> None:
+        with self._compiled_lock:
+            self._compiled = self._compiled | {bucket}
 
     def _pick_bucket(self, arr, laterality: str) -> int:
         """Smallest sufficient registry bucket for a request, from the
         host-side subsampled fill estimate — no device work, no readback
         (the round-2 request path paid a full device canonicalize+SAT pass
         plus a blocking ~25 ms scalar sync here).  Off-size images (the
-        resize path) and spec-less predictors use the full bucket."""
-        if self.bucket_spec is None:
-            return self.pipeline.bucket
+        resize path) and spec-less predictors use the full bucket.
+
+        OVERSIZED requests — more valid tiles than the cap bucket, possible
+        at dense high-overlap geometries — extend past the cap under
+        ``oversized='extend'`` (quantized sizes via
+        ``BucketSpec.extended_bucket``; every tile kept, matching the
+        reference's ``bag_size: -1``) instead of silently dropping the
+        lowest-fill tiles."""
+        cap = self.pipeline.bucket
+        may_overflow = self.oversized == "extend" and (
+            self._grid.num_tiles > cap
+            and (self.pipeline.bag_size <= 0 or self.pipeline.bag_size > cap)
+        )
+        if self.bucket_spec is None and not may_overflow:
+            return cap
+        from montecarlo_gated_mil_tpu.core.bag import BucketSpec
         from montecarlo_gated_mil_tpu.data.pipeline import estimate_valid_tiles
 
         n = estimate_valid_tiles(
             arr, laterality == "R", self._starts_np, self.pipeline
         )
         if n is None:
-            return self.pipeline.bucket
-        return min(self.bucket_spec.bucket_for(n), self.pipeline.bucket)
+            return cap
+        if may_overflow and n > cap:
+            spec = self.bucket_spec or BucketSpec((cap,))
+            mult = jax.device_count() if jax.process_count() == 1 else 1
+            return spec.extended_bucket(n, multiple_of=mult)
+        if self.bucket_spec is None:
+            return cap
+        return min(self.bucket_spec.bucket_for(n), cap)
 
     def _infer_for(self, bucket: int):
-        """The jitted end-to-end request program for one bag bucket."""
+        """The jitted end-to-end request program for one bag bucket.
+
+        Buckets past the pipeline cap (oversized requests under
+        ``oversized='extend'``) run the instance-sharded embed + MC head
+        over all local devices when the mesh divides them
+        (``parallel/instance.py``; float path — the fused-kernel and int8
+        variants are single-chip programs); on one device they run whole.
+        """
         fn = self._infers.get(bucket)
         if fn is not None:
             return fn
         from dataclasses import replace
 
         pipe = replace(self.pipeline, bucket=bucket)
+        inst_mesh = None
+        if (
+            bucket > self.pipeline.bucket
+            and jax.process_count() == 1
+            and jax.device_count() > 1
+            and bucket % jax.device_count() == 0
+        ):
+            from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
+
+            inst_mesh = make_mesh(data=1, inst=jax.device_count())
 
         @jax.jit
         def _infer(image, flip, seed, inv_max):
@@ -174,6 +226,19 @@ class MCDOPredictor:
                 image, flip, jnp.asarray(0), jax.random.key(seed), self._starts,
                 pipe,
             )
+            if inst_mesh is not None:
+                from montecarlo_gated_mil_tpu.parallel.instance import (
+                    mc_inference_sharded,
+                )
+
+                y, a = mc_inference_sharded(
+                    self.model, self.params, bag.patches, bag.mask,
+                    self.num_samples, jax.random.key(seed), inst_mesh,
+                )
+                return (
+                    bag, y, a, predictive_stats(y),
+                    attention_stats(a, bag.mask),
+                )
             H = self._embed(bag.patches, bag.mask)
             if self._kernel_params is not None:
                 y, a = mc_gated_attention_fused(
@@ -259,6 +324,7 @@ class MCDOPredictor:
             "use_pallas", None if cfg.tpu.use_pallas_attention else False
         )
         kw.setdefault("quantized", cfg.tpu.quantized_inference)
+        kw.setdefault("oversized", cfg.tpu.oversized_bags)
         if len(cfg.tpu.buckets) > 1:
             kw.setdefault("bucket_spec", BucketSpec(cfg.tpu.buckets))
         return cls(build_model(cfg), params, pipeline, **kw)
@@ -320,7 +386,7 @@ class MCDOPredictor:
                             execution_devices=[jax.devices()[0]],
                         )
                         hits += 1
-                        self._compiled = self._compiled | {b}
+                        self._mark_compiled(b)
                         continue
                     except Exception:  # noqa: BLE001
                         # Stale or version-incompatible cache file (e.g. a
@@ -335,7 +401,7 @@ class MCDOPredictor:
                             pass
                 compiled = self._infer_for(b).lower(*args).compile()
                 self._aot[key] = compiled
-                self._compiled = self._compiled | {b}
+                self._mark_compiled(b)
                 with open(path + ".tmp", "wb") as f:
                     pickle.dump(se.serialize(compiled), f)
                 os.replace(path + ".tmp", path)
@@ -391,7 +457,7 @@ class MCDOPredictor:
             self._infer_for(b)(zero, flip, seed, inv_max)
             # Only now is bucket b safe to route requests to without a
             # compile stall (see ``self._compiled`` in __init__).
-            self._compiled = self._compiled | {b}
+            self._mark_compiled(b)
 
         combos = [(d, b) for d in dtypes for b in dict.fromkeys(buckets)]
         if not background:
@@ -474,7 +540,7 @@ class MCDOPredictor:
                 jnp.asarray(seed, jnp.int32),
                 inv_max,
             )
-            self._compiled = self._compiled | {bucket}
+            self._mark_compiled(bucket)
         maps = None
         if return_maps:
             maps = attention_map_stats(
@@ -562,10 +628,22 @@ class MCDOPredictor:
             # ~300 MB, so materializing every request's bag up front would
             # exhaust HBM on long request lists.
             group = []
+            group_js = []
             for j in range(min(batch, len(images) - lo)):
                 arr, inv_max = _prepare_image(
                     images[lo + j], pixel_maxes[lo + j]
                 )
+                # Oversized requests (more valid tiles than the cap bucket,
+                # oversized='extend') cannot ride the fixed-bucket dp batch
+                # — ``predict`` runs them instance-sharded/whole instead of
+                # letting ``_bag_fn``'s cap truncate them.
+                if self._pick_bucket(arr, lateralities[lo + j]) > self.pipeline.bucket:
+                    results[lo + j] = self.predict(
+                        images[lo + j], lateralities[lo + j],
+                        seed=seeds[lo + j], pixel_max=pixel_maxes[lo + j],
+                    )
+                    continue
+                group_js.append(j)
                 group.append(
                     self._bag_fn(
                         arr,
@@ -574,9 +652,11 @@ class MCDOPredictor:
                         inv_max,
                     )
                 )
+            if not group:
+                continue
             stacked, keys, n_real = pad_group_to_batch(
                 mesh, group,
-                [jax.random.key(seeds[lo + j]) for j in range(len(group))],
+                [jax.random.key(seeds[lo + j]) for j in group_js],
             )
             ys, atts = eval_step(self.params, stacked, keys)
             # One batched host fetch per group (not per result): each
@@ -592,7 +672,7 @@ class MCDOPredictor:
                 ]
             )
             for j, (stats, att, n_inst) in enumerate(fetched):
-                results[lo + j] = PredictionResult(
+                results[lo + group_js[j]] = PredictionResult(
                     prediction=int(stats.prediction),
                     stats=stats,
                     attention=att,

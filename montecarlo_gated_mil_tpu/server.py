@@ -138,8 +138,10 @@ def _load_image(path: str) -> np.ndarray:
 
 def _validate_request(req: dict) -> None:
     """Reject malformed optional fields up front so one bad line costs one
-    ``{"error": ...}`` record, not the whole batch (the HTTP handler does
-    the same checks inside its 400 path)."""
+    ``{"error": ...}`` record, not the whole batch.  Shared by the JSONL
+    loop and the HTTP handler's 400 path, so both front-ends enforce the
+    same contract (a float or bool ``map_downsample`` is rejected, never
+    silently truncated)."""
     seed = req.get("seed", 0)
     if isinstance(seed, bool) or not isinstance(seed, int):
         raise ValueError(f"seed must be an integer, got {seed!r}")
@@ -321,17 +323,10 @@ class _Handler(BaseHTTPRequestHandler):
                 if os.path.commonpath([path, root]) != root:
                     raise ValueError("image_path outside the configured data root")
                 img = _load_image(path)
+            _validate_request(req)  # same contract as the JSONL front-end
             pixel_max = req.get("pixel_max")
-            if pixel_max is not None and not isinstance(
-                pixel_max, (int, float)
-            ):
-                raise ValueError(f"pixel_max must be a number, got {pixel_max!r}")
-            seed = int(req.get("seed", 0))
-            map_downsample = int(req.get("map_downsample", 1))
-            if map_downsample < 1:
-                raise ValueError(
-                    f"map_downsample must be >= 1, got {map_downsample}"
-                )
+            seed = req.get("seed", 0)
+            map_downsample = req.get("map_downsample", 1)
         except (KeyError, ValueError, TypeError, json.JSONDecodeError, OSError) as e:
             self._reply(400, {"error": str(e)})
             return

@@ -34,6 +34,112 @@ from montecarlo_gated_mil_tpu.train.state import TrainState
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
 
+@functools.lru_cache(maxsize=1)
+def _instance_mesh():
+    """Mesh with every local device on the ``inst`` axis, for routing
+    oversized bags (bucket > ``shard_over``) through the instance-sharded
+    path (``parallel/instance.py`` — the MIL analogue of sequence
+    parallelism, SURVEY.md §5).  None on a single device or under
+    multi-process fold fan-out (each process evaluates different folds, so
+    a global mesh would issue mismatched SPMD programs)."""
+    if jax.process_count() > 1 or jax.device_count() <= 1:
+        return None
+    from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=1, inst=jax.device_count())
+
+
+def _shard_mesh_for(bucket: int, shard_over: int | None):
+    """The instance mesh when this bag should shard, else None."""
+    if shard_over is None or bucket <= shard_over:
+        return None
+    mesh = _instance_mesh()
+    if mesh is None or bucket % mesh.shape["inst"]:
+        return None
+    return mesh
+
+
+@functools.lru_cache(maxsize=32)
+def _det_step_sharded(model, criterion):
+    """Deterministic forward with the instance axis sharded over all
+    devices: sharded embed (cross-shard psum BN stats) + two-pass psum
+    masked softmax head.  Math-identical to ``_det_step`` up to float
+    reduction order (pinned by tests/test_parallel.py)."""
+    from montecarlo_gated_mil_tpu.ops.gated_attention import GatedAttentionParams
+    from montecarlo_gated_mil_tpu.parallel.instance import (
+        sharded_embed,
+        sharded_gated_attention,
+    )
+
+    mesh = _instance_mesh()
+
+    @jax.jit
+    def f(params, patches, mask, label):
+        H = sharded_embed(model, params, patches, mask, mesh)
+        y, _ = sharded_gated_attention(
+            H, mask, GatedAttentionParams.from_model_params(params), mesh
+        )
+        loss = criterion(y[None, :], label[None])
+        return loss, jnp.argmax(y)
+
+    return f
+
+
+@functools.lru_cache(maxsize=32)
+def _mc_test_step_sharded(model, num_samples: int):
+    """MC test step for an oversized bag: instance-sharded embed + MC head
+    (float path; the Pallas/int8 variants are single-chip programs and do
+    not apply here).  Same reduction as ``_mc_test_step``."""
+    from montecarlo_gated_mil_tpu.parallel.instance import mc_inference_sharded
+
+    mesh = _instance_mesh()
+
+    @jax.jit
+    def f(params, patches, mask, key):
+        y, _ = mc_inference_sharded(
+            model, params, patches, mask, num_samples, key, mesh
+        )
+        probs = jax.nn.softmax(y, axis=-1)
+        return jnp.argmax(jnp.mean(probs, axis=0))
+
+    return f
+
+
+@functools.lru_cache(maxsize=32)
+def _mc_val_step_sharded(model, criterion, num_samples: int):
+    """MC validation step for an oversized bag (same loss/prediction
+    reductions as ``_mc_val_step``; dropout draws are the sharded head's
+    per-shard streams — statistically equivalent, not bit-identical)."""
+    from montecarlo_gated_mil_tpu.parallel.instance import mc_inference_sharded
+
+    mesh = _instance_mesh()
+
+    @jax.jit
+    def f(params, patches, mask, label, key):
+        y, a = mc_inference_sharded(
+            model, params, patches, mask, num_samples, key, mesh
+        )
+        return _mc_val_finish(model, criterion, y, a, label)
+
+    return f
+
+
+def _mc_val_finish(model, criterion, preds, attn, label):
+    """Shared mc-validate reduction: mean over T of (CE + aux), prediction =
+    argmax of mean RAW logits (``/root/reference/net_utils.py:139``)."""
+    from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
+
+    aux_losses = model.aux_scale * auxiliary_loss(
+        attn[:, 1, :], attn[:, 0, :], label == 1,
+        loss_type=model.aux_loss_type, margin=model.aux_margin,
+    )
+    ce = jax.vmap(lambda yy: criterion(yy[None, :], label[None]))(preds)
+    loss = jnp.mean(ce + aux_losses)
+    aux = jnp.mean(aux_losses)
+    pred = jnp.argmax(jnp.mean(preds, axis=0))
+    return loss, aux, pred
+
+
 def _allow_pallas(model, use_pallas: bool) -> bool:
     """Off-TPU the fused kernel runs only interpreted and only its
     deterministic path (the hardware PRNG has no CPU lowering), so fall
@@ -58,17 +164,7 @@ def _det_step(model, criterion):
 @functools.lru_cache(maxsize=32)
 def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
     def _finish(preds, attn, label):
-        from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
-
-        aux_losses = model.aux_scale * auxiliary_loss(
-            attn[:, 1, :], attn[:, 0, :], label == 1,
-            loss_type=model.aux_loss_type, margin=model.aux_margin,
-        )
-        ce = jax.vmap(lambda yy: criterion(yy[None, :], label[None]))(preds)
-        loss = jnp.mean(ce + aux_losses)
-        aux = jnp.mean(aux_losses)
-        pred = jnp.argmax(jnp.mean(preds, axis=0))
-        return loss, aux, pred
+        return _mc_val_finish(model, criterion, preds, attn, label)
 
     if use_pallas:
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
@@ -356,12 +452,18 @@ def validate(
     epoch: int,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    shard_over: int | None = None,
 ) -> float:
     step = _det_step(model, criterion)
     running_loss = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for bag, _rec in items:
-        loss, pred = step(params, bag.patches, bag.mask, bag.label)
+        if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            loss, pred = _det_step_sharded(model, criterion)(
+                params, bag.patches, bag.mask, bag.label
+            )
+        else:
+            loss, pred = step(params, bag.patches, bag.mask, bag.label)
         running_loss += float(loss)
         correct += float(pred == bag.label)
         total += 1
@@ -388,17 +490,24 @@ def mc_validate(
     metrics: Metrics | None = None,
     fold: int | None = None,
     use_pallas: bool = False,
+    shard_over: int | None = None,
 ) -> float:
     """MC validation (spec above).  ``use_pallas=True`` (TPU; both gate
     modes) runs the fused MC kernel — its custom VJP also makes this path
     gradient-capable; dropout masks come from the hardware PRNG, so losses
-    are statistically equivalent but not bit-identical to the default."""
+    are statistically equivalent but not bit-identical to the default.
+    ``shard_over``: oversized bags route to the instance-sharded step."""
     step = _mc_val_step(model, criterion, num_samples, _allow_pallas(model, use_pallas))
     running_loss = running_aux = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
-        loss, aux, pred = step(params, bag.patches, bag.mask, bag.label, k)
+        if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            loss, aux, pred = _mc_val_step_sharded(model, criterion, num_samples)(
+                params, bag.patches, bag.mask, bag.label, k
+            )
+        else:
+            loss, aux, pred = step(params, bag.patches, bag.mask, bag.label, k)
         running_loss += float(loss)
         running_aux += float(aux)
         correct += float(pred == bag.label)
@@ -448,13 +557,24 @@ def test(
     *,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    shard_over: int | None = None,
 ) -> tuple[float, str]:
-    """Deterministic test pass (``net_utils.py:160-192``)."""
+    """Deterministic test pass (``net_utils.py:160-192``).
+
+    ``shard_over``: bags whose bucket exceeds it (oversized bags the loader
+    emitted under ``oversized_bags='extend'``) evaluate instance-sharded
+    over all devices when a mesh is available (``parallel/instance.py``);
+    on a single device they run whole."""
     step = _det_step(model, _ZERO_CRITERION)
     preds, targets = [], []
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for bag, _rec in items:
-        _, pred = step(params, bag.patches, bag.mask, bag.label)
+        if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            _, pred = _det_step_sharded(model, _ZERO_CRITERION)(
+                params, bag.patches, bag.mask, bag.label
+            )
+        else:
+            _, pred = step(params, bag.patches, bag.mask, bag.label)
         preds.append(int(pred))
         targets.append(int(bag.label))
     return _finish_test(targets, preds, metrics, fold)
@@ -471,6 +591,7 @@ def mc_test(
     fold: int | None = None,
     use_pallas: bool = False,
     quantized: bool = False,
+    shard_over: int | None = None,
 ) -> tuple[float, str]:
     """MC test pass: argmax of MC-mean softmax (``net_utils.py:195-230``).
 
@@ -478,14 +599,21 @@ def mc_test(
     kernel — 24x the vmap head; its dropout masks come from the hardware
     PRNG, so predictions are statistically equivalent but not bit-identical
     to the default path.  ``quantized=True`` embeds through the int8 PTQ
-    path (ops/quantized.py).
+    path (ops/quantized.py).  ``shard_over``: oversized bags (bucket above
+    it) evaluate instance-sharded over all devices when a mesh is available
+    (float path — the Pallas/int8 single-chip variants don't apply there).
     """
     step = _mc_test_step(model, num_samples, _allow_pallas(model, use_pallas), quantized)
     preds, targets = [], []
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         k = jax.random.fold_in(key, i)
-        pred = step(params, bag.patches, bag.mask, k)
+        if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            pred = _mc_test_step_sharded(model, num_samples)(
+                params, bag.patches, bag.mask, k
+            )
+        else:
+            pred = step(params, bag.patches, bag.mask, k)
         preds.append(int(pred))
         targets.append(int(bag.label))
     return _finish_test(targets, preds, metrics, fold)

@@ -59,6 +59,7 @@ def make_train_step(
     criterion: Callable[[Array, Array], Array],
     optimizer: optax.GradientTransformation,
     accumulation_steps: int,
+    use_pallas: bool = False,
 ):
     """Build the jitted one-bag training step.
 
@@ -68,20 +69,66 @@ def make_train_step(
     at epoch end, decided by the host loop) — applies the summed gradients
     and resets the accumulator.  Matches the reference's ``loss /= k; step
     every k or at epoch end`` exactly, including the partial final group.
+
+    ``use_pallas=True`` runs the gated-attention head (forward AND backward)
+    through the fused Pallas kernel at T=1 — its custom VJP replays the
+    hardware-PRNG dropout masks by re-seeding (ops/gated_attention.py), so
+    the whole loss is differentiable end to end; dropout draws then come
+    from the hardware PRNG, statistically equivalent but not bit-identical
+    to the jnp path (gradient parity at dropout 0 is pinned in
+    tests/test_train.py).  The embed backward (where ~95% of the step's
+    FLOPs live) is XLA either way, so the measured end-to-end win is small —
+    see docs/PERFORMANCE.md §train-step audit for the numbers behind the
+    ``tpu.use_pallas_train`` default.
     """
 
-    def loss_fn(params, bag: Bag, key):
-        y, _, aux = model.apply(
-            {"params": params},
-            bag.patches,
-            bag.mask,
-            bag.label,
-            train=True,
-            rngs={"dropout": key},
+    if use_pallas:
+        from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
+        from montecarlo_gated_mil_tpu.ops.gated_attention import (
+            GatedAttentionParams,
+            mc_gated_attention_fused,
         )
-        loss = criterion(y[None, :], bag.label[None]) + aux
-        correct = (jnp.argmax(y) == bag.label).astype(jnp.float32)
-        return loss / accumulation_steps, (loss, aux, correct)
+
+        interpret = jax.default_backend() != "tpu"
+
+        def loss_fn(params, bag: Bag, key):
+            H = model.apply(
+                {"params": params}, bag.patches, bag.mask, method="embed"
+            )
+            seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+            y, a = mc_gated_attention_fused(
+                H,
+                bag.mask,
+                GatedAttentionParams.from_model_params(params),
+                1,
+                seed,
+                model.feature_dropout,
+                model.attention_dropout,
+                interpret=interpret,
+            )
+            y0, a0 = y[0], a[0]
+            aux = model.aux_scale * auxiliary_loss(
+                a0[1], a0[0], bag.label == 1,
+                loss_type=model.aux_loss_type, margin=model.aux_margin,
+            )
+            loss = criterion(y0[None, :], bag.label[None]) + aux
+            correct = (jnp.argmax(y0) == bag.label).astype(jnp.float32)
+            return loss / accumulation_steps, (loss, aux, correct)
+
+    else:
+
+        def loss_fn(params, bag: Bag, key):
+            y, _, aux = model.apply(
+                {"params": params},
+                bag.patches,
+                bag.mask,
+                bag.label,
+                train=True,
+                rngs={"dropout": key},
+            )
+            loss = criterion(y[None, :], bag.label[None]) + aux
+            correct = (jnp.argmax(y) == bag.label).astype(jnp.float32)
+            return loss / accumulation_steps, (loss, aux, correct)
 
     @jax.jit
     def step(state: TrainState, bag: Bag, key: Array, do_update: Array):
@@ -171,15 +218,27 @@ class Checkpointer:
         epoch: int,
         early_stop: dict | None = None,
         extra: dict | None = None,
+        best_params=None,
     ):
-        meta = {"epoch": epoch, "early_stop": early_stop or {}, "extra": extra or {}}
-        self._mgr.save(
-            step,
-            args=self._ocp.args.Composite(
-                state=self._ocp.args.StandardSave(state),
-                meta=self._ocp.args.JsonSave(meta),
-            ),
+        """Persist the full state.  ``best_params`` (the early-stopper's
+        best-so-far pytree) rides along as its own composite item: without
+        it a resumed run that never beats the pre-crash best loss would
+        silently save the *final*-epoch params as "best", violating the
+        reference's save-best semantics
+        (``/root/reference/net_utils.py:240-256``, ``main.py:92-94``)."""
+        meta = {
+            "epoch": epoch,
+            "early_stop": early_stop or {},
+            "extra": extra or {},
+            "has_best": best_params is not None,
+        }
+        items = dict(
+            state=self._ocp.args.StandardSave(state),
+            meta=self._ocp.args.JsonSave(meta),
         )
+        if best_params is not None:
+            items["best"] = self._ocp.args.StandardSave(best_params)
+        self._mgr.save(step, args=self._ocp.args.Composite(**items))
         if not self.async_save:
             self._mgr.wait_until_finished()
 
@@ -192,24 +251,29 @@ class Checkpointer:
         return self._mgr.latest_step()
 
     def restore(self, state_like: TrainState, step: int | None = None):
+        """Returns ``(state, meta, best_params)``; ``best_params`` is None
+        for checkpoints written without one (meta says which via
+        ``has_best``, so old checkpoints restore cleanly)."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self._mgr.restore(
-            step,
-            args=self._ocp.args.Composite(
-                state=self._ocp.args.StandardRestore(state_like),
-                meta=self._ocp.args.JsonRestore(),
-            ),
-        )
-        return restored["state"], restored["meta"]
+        meta = self._mgr.restore(
+            step, args=self._ocp.args.Composite(meta=self._ocp.args.JsonRestore())
+        )["meta"]
+        items = dict(state=self._ocp.args.StandardRestore(state_like))
+        if meta.get("has_best"):
+            items["best"] = self._ocp.args.StandardRestore(state_like.params)
+        restored = self._mgr.restore(step, args=self._ocp.args.Composite(**items))
+        return restored["state"], meta, restored.get("best")
 
     def save_params(self, name: str, params) -> str:
         """Save parameters only (the reference's best-model ``torch.save``,
-        ``main.py:92-94``) under ``directory/name``."""
+        ``main.py:92-94``) under ``directory/name``.  ``force=True``:
+        a pinned ``model_id`` name legitimately re-saves after a resumed
+        run (the reference's torch.save overwrites too)."""
         path = os.path.join(self.directory, name)
         ckpt = self._ocp.StandardCheckpointer()
-        ckpt.save(path, params)
+        ckpt.save(path, params, force=True)
         ckpt.wait_until_finished()
         return path
 

@@ -177,6 +177,57 @@ def test_trailing_accumulation_flush_without_len():
     assert int(out.step) == 2 and int(out.acc_count) == 0
 
 
+def test_scheduler_epoch_unit_decay_points():
+    """StepLR semantics (VERDICT r03 Weak #6 docstring over-claim): with
+    ``unit='epoch'`` (default, torch StepLR) decays land exactly on epoch
+    boundaries regardless of grad accumulation; ``unit='step'`` counts
+    optimizer steps.  Cross-checked against torch's StepLR."""
+    import torch
+
+    from montecarlo_gated_mil_tpu.core.config import (
+        SchedulerConfig,
+        TrainingParameters,
+        TrainingPlan,
+    )
+    from montecarlo_gated_mil_tpu.train.optim import make_schedule
+
+    plan = TrainingPlan(
+        parameters=TrainingParameters(lr=1.0),
+        scheduler=SchedulerConfig(name="step", step_size=2, gamma=0.5),
+    )
+    # 3 optimizer steps per epoch: decay every 2 epochs = every 6 steps
+    s = make_schedule(plan, steps_per_epoch=3)
+    lrs = [float(s(i)) for i in range(13)]
+    assert lrs[0] == lrs[5] == 1.0
+    assert lrs[6] == lrs[11] == 0.5
+    assert lrs[12] == 0.25
+    # torch cross-check: the lr torch uses during epoch e equals the
+    # schedule at that epoch's optimizer steps
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    stepper = torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.5)
+    for epoch in range(6):
+        want = opt.param_groups[0]["lr"]
+        assert float(s(epoch * 3)) == want == float(s(epoch * 3 + 2))
+        opt.step()  # torch warns if the scheduler steps before the optimizer
+        stepper.step()
+    # unit='step': optimizer-step units directly (steps_per_epoch ignored)
+    s2 = make_schedule(
+        TrainingPlan(
+            parameters=TrainingParameters(lr=1.0),
+            scheduler=SchedulerConfig(
+                name="step", step_size=2, gamma=0.5, unit="step"
+            ),
+        ),
+        steps_per_epoch=3,
+    )
+    assert float(s2(1)) == 1.0 and float(s2(2)) == 0.5 and float(s2(4)) == 0.25
+    # bad unit rejected at config validation
+    with pytest.raises(ValueError, match="scheduler.unit"):
+        TrainingPlan(
+            scheduler=SchedulerConfig(name="step", unit="minute")
+        ).validate()
+
+
 def test_early_stopping_reference_semantics():
     es = EarlyStopping(patience=2)
     assert not es(1.0, "p1")  # improvement -> counter reset
@@ -206,8 +257,9 @@ def test_async_checkpoint_roundtrip(tmp_path):
     ckpt.save(2, state, epoch=2)
     ckpt.wait()
     assert ckpt.latest_step() == 2
-    restored, meta = ckpt.restore(state)
+    restored, meta, best = ckpt.restore(state)
     assert meta["epoch"] == 2
+    assert best is None  # saved without best_params
     np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(6.0))
     ckpt.close()
 
@@ -219,12 +271,16 @@ def test_checkpoint_roundtrip(tmp_path):
     params = {"w": jnp.arange(4.0), "b": {"x": jnp.ones((2, 2))}}
     state = TrainState.create(params, opt)
     ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    best_params = {"w": jnp.full((4,), 9.0), "b": {"x": jnp.zeros((2, 2))}}
     ckpt.save(3, state, epoch=7, early_stop={"patience": 5, "counter": 2,
-                                             "best_loss": 0.5})
-    restored, meta = ckpt.restore(state)
+                                             "best_loss": 0.5},
+              best_params=best_params)
+    restored, meta, best = ckpt.restore(state)
     np.testing.assert_array_equal(
         np.asarray(restored.params["w"]), np.asarray(params["w"])
     )
+    # best_params rides the composite and restores bit-identical
+    np.testing.assert_array_equal(np.asarray(best["w"]), np.full((4,), 9.0))
     assert meta["epoch"] == 7 and meta["early_stop"]["counter"] == 2
     # params-only save/restore (best-model path)
     p = ckpt.save_params("best_abc", params)
@@ -261,3 +317,48 @@ def test_gradients_finite_through_all_masked_bag():
     assert all(
         bool(jnp.all(jnp.isfinite(g))) for g in jax.tree_util.tree_leaves(grads)
     )
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_train_step_fused_head_gradient_parity(shared):
+    """``make_train_step(use_pallas=True)`` (fused Pallas head fwd + custom
+    VJP bwd, T=1) produces the same loss and the same post-update params as
+    the jnp path at dropout 0 — pinning the kernel's backward inside the
+    full training step (embed backward included), both gate modes."""
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+
+    model = MultiHeadGatedAttentionMIL(
+        backbone="r18", feature_dropout=0.0, attention_dropout=0.0,
+        shared_attention=shared,
+    )
+    key = jax.random.key(0)
+    n, hw = 8, 32
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((n, hw, hw, 3), jnp.float32),
+        jnp.ones((n,), bool),
+    )
+    patches = jax.random.normal(jax.random.key(1), (n, hw, hw, 3), jnp.float32)
+    mask = jnp.asarray([True] * 6 + [False] * 2)
+    bag = Bag(
+        patches=jnp.where(mask[:, None, None, None], patches, 0.0),
+        mask=mask,
+        label=jnp.asarray(1, jnp.int32),
+        tile_indices=jnp.arange(n, dtype=jnp.int32),
+    )
+    opt = make_optimizer(_plan("sgd", lr=0.05, wd=0.0))
+    step_jnp = make_train_step(model, cross_entropy, opt, 1, use_pallas=False)
+    step_fused = make_train_step(model, cross_entropy, opt, 1, use_pallas=True)
+    state = TrainState.create(variables["params"], opt)
+    k = jax.random.key(2)
+    s1, out1 = step_jnp(state, bag, k, jnp.asarray(True))
+    s2, out2 = step_fused(state, bag, k, jnp.asarray(True))
+    assert float(out1["loss"]) == pytest.approx(float(out2["loss"]), abs=1e-5)
+    assert float(out1["aux_loss"]) == pytest.approx(
+        float(out2["aux_loss"]), abs=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
+        )
