@@ -174,7 +174,9 @@ class MultiHeadGatedAttentionMIL(nn.Module):
         """
         stochastic = train or mc_dropout
         Hd = self.drop_features(H, deterministic=not stochastic)
-        Hd32 = Hd.astype(jnp.float32)
+        # Head math in >= f32 (promote a bf16 embed; keep f64 runs f64 —
+        # the trajectory-parity tests depend on no demotion here).
+        Hd32 = Hd.astype(jnp.promote_types(Hd.dtype, jnp.float32))
         if self.shared_attention:
             V = jnp.tanh(Hd32 @ self.w_V + self.b_V)  # (N, D)
             U = jax.nn.sigmoid(Hd32 @ self.w_U + self.b_U)
@@ -275,7 +277,8 @@ class GatedAttentionMIL(nn.Module):
     ) -> tuple[Array, Array]:
         """Features ``(N, L)`` -> ``(Y (num_classes,), A (K, N))``."""
         stochastic = train or mc_dropout
-        Hd = self.drop_features(H, deterministic=not stochastic).astype(jnp.float32)
+        Hd = self.drop_features(H, deterministic=not stochastic)
+        Hd = Hd.astype(jnp.promote_types(Hd.dtype, jnp.float32))  # no f64 demotion
         V = jnp.tanh(Hd @ self.w_V + self.b_V)
         V = self.drop_V(V, deterministic=not stochastic)
         U = jax.nn.sigmoid(Hd @ self.w_U + self.b_U)

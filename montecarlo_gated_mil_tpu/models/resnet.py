@@ -111,7 +111,10 @@ class MaskedBatchStatsNorm(nn.Module):
             # result unused either way; this keeps it finite.
             xf = xf * jnp.minimum(n_valid, 1.0)
         inv = jax.lax.rsqrt(var + self.eps)
-        y = (xf - mean) * inv * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        # Affines in the stats dtype: promotes bf16, but never DEMOTES a
+        # float64 run (an astype(float32) here costs ~1e-8 per layer, which
+        # the f64 trajectory-parity tests would amplify chaotically).
+        y = (xf - mean) * inv * scale.astype(stats_dtype) + bias.astype(stats_dtype)
         return y.astype(x.dtype)
 
 
@@ -281,8 +284,9 @@ class ResNetFeatures(nn.Module):
                     bn_axis_name=self.bn_axis_name,
                     name=f"layer{stage + 1}_{block}",
                 )(x, mask)
-        # Global average pool (torch AdaptiveAvgPool2d(1)); accumulate f32.
-        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+        # Global average pool (torch AdaptiveAvgPool2d(1)); accumulate in
+        # >= f32 (promote bf16, keep f64 — see MaskedBatchStatsNorm note).
+        x = jnp.mean(x.astype(jnp.promote_types(x.dtype, jnp.float32)), axis=(1, 2))
         return x
 
 
