@@ -3,8 +3,12 @@
 The image has no pydicom; this native reader supplies the DICOM capability
 the reference gets from pydicom (``/root/reference/dataset.py:93-112,
 162-180``): uncompressed Explicit/Implicit VR Little Endian pixel data plus
-the PatientID / PatientAge / ImageLaterality / BitsStored fields, normalized
-by ``2^BitsStored - 1`` exactly as the reference.
+RLE Lossless (1.2.840.10008.1.2.5 — PackBits byte planes, PS3.5 Annex G),
+plus the PatientID / PatientAge / ImageLaterality / BitsStored fields,
+normalized by ``2^BitsStored - 1`` exactly as the reference.  Other
+compressed transfer syntaxes (the JPEG family) raise with the offending
+TransferSyntaxUID named, so the gap vs pydicom's decoder coverage is
+diagnosable rather than silent.
 
 The shared library builds lazily with g++ on first use and is cached next to
 the source.  ``read_dicom_native`` mirrors ``data.dicom.read_dicom``'s return
@@ -40,7 +44,8 @@ class _DicomResult(ctypes.Structure):
         ("patient_id", ctypes.c_char * 65),
         ("patient_age", ctypes.c_char * 17),
         ("laterality", ctypes.c_char * 17),
-        ("error", ctypes.c_char * 128),
+        ("transfer_syntax", ctypes.c_char * 65),
+        ("error", ctypes.c_char * 256),
     ]
 
 

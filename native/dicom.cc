@@ -4,9 +4,13 @@
 // 93-112,162-180) with a small C++ parser exposed over a C ABI (ctypes).
 // Scope: DICOM Part 10 files with uncompressed ("native") pixel data in
 // Explicit or Implicit VR Little Endian — the format mammography exports in
-// this pipeline use.  Extracted fields mirror exactly what the reference
-// reads: Rows, Columns, BitsStored, PixelRepresentation, PatientID,
-// PatientAge ('dddY'), ImageLaterality, PixelData.
+// this pipeline use — plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
+// G), a transfer syntax common in clinical archives.  Other compressed
+// syntaxes (JPEG family) fail with an error NAMING the TransferSyntaxUID so
+// the gap is diagnosable (pydicom would decode those,
+// /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
+// the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
+// PatientID, PatientAge ('dddY'), ImageLaterality, PixelData.
 //
 // Build:  g++ -O2 -shared -fPIC -o libmcgmil_dicom.so dicom.cc
 // The Python wrapper (montecarlo_gated_mil_tpu/data/dicom_native.py) builds
@@ -32,7 +36,8 @@ struct DicomResult {
   char patient_id[65];
   char patient_age[17];  // e.g. "042Y"
   char laterality[17];   // e.g. "L" / "R"
-  char error[128];       // empty on success
+  char transfer_syntax[65];  // (0002,0010) UID, empty if absent
+  char error[256];       // empty on success
 };
 
 }  // extern "C"
@@ -101,6 +106,106 @@ uint32_t parse_uint_value(const uint8_t* data, size_t len, bool is_us) {
   return static_cast<uint32_t>(strtoul(buf, nullptr, 10));
 }
 
+const char* syntax_name(const char* uid) {
+  // Human names for the transfer syntaxes a clinical archive is likely to
+  // hand us, so the unsupported-syntax error reads like pydicom's would.
+  static const struct { const char* uid; const char* name; } kKnown[] = {
+      {"1.2.840.10008.1.2", "Implicit VR Little Endian"},
+      {"1.2.840.10008.1.2.1", "Explicit VR Little Endian"},
+      {"1.2.840.10008.1.2.1.99", "Deflated Explicit VR Little Endian"},
+      {"1.2.840.10008.1.2.2", "Explicit VR Big Endian"},
+      {"1.2.840.10008.1.2.4.50", "JPEG Baseline (Process 1)"},
+      {"1.2.840.10008.1.2.4.51", "JPEG Extended (Process 2&4)"},
+      {"1.2.840.10008.1.2.4.57", "JPEG Lossless (Process 14)"},
+      {"1.2.840.10008.1.2.4.70", "JPEG Lossless SV1 (Process 14)"},
+      {"1.2.840.10008.1.2.4.80", "JPEG-LS Lossless"},
+      {"1.2.840.10008.1.2.4.81", "JPEG-LS Near-Lossless"},
+      {"1.2.840.10008.1.2.4.90", "JPEG 2000 Lossless"},
+      {"1.2.840.10008.1.2.4.91", "JPEG 2000"},
+      {"1.2.840.10008.1.2.5", "RLE Lossless"},
+  };
+  for (const auto& k : kKnown) {
+    if (strcmp(uid, k.uid) == 0) return k.name;
+  }
+  return "unrecognized transfer syntax";
+}
+
+// PackBits-decode one RLE segment (DICOM PS3.5 Annex G.3.1) into the byte
+// plane `plane_index` of little-endian composite samples in `out`.
+// Segment 0 holds the MOST significant byte of each sample.
+bool rle_decode_segment(const uint8_t* seg, size_t seg_len, uint8_t* out,
+                        size_t npix, uint32_t bytes_per_sample,
+                        uint32_t plane_index) {
+  const size_t lane = bytes_per_sample - 1 - plane_index;  // LE byte offset
+  size_t i = 0, w = 0;
+  while (i < seg_len && w < npix) {
+    uint8_t n = seg[i++];
+    if (n <= 127) {  // literal run of n+1 bytes
+      size_t k = static_cast<size_t>(n) + 1;
+      if (i + k > seg_len) return false;
+      if (w + k > npix) k = npix - w;
+      for (size_t j = 0; j < k; ++j) {
+        out[(w + j) * bytes_per_sample + lane] = seg[i + j];
+      }
+      i += static_cast<size_t>(n) + 1;
+      w += k;
+    } else if (n >= 129) {  // replicate next byte 257-n times
+      if (i >= seg_len) return false;
+      size_t k = 257 - static_cast<size_t>(n);
+      uint8_t v = seg[i++];
+      if (w + k > npix) k = npix - w;
+      for (size_t j = 0; j < k; ++j) {
+        out[(w + j) * bytes_per_sample + lane] = v;
+      }
+      w += k;
+    }  // n == 128: no-op per Annex G
+  }
+  return w == npix;
+}
+
+// Decode one RLE frame (64-byte header: u32 segment count + 15 u32 segment
+// offsets from the start of the frame) into `out` (npix little-endian
+// samples of `bytes_per_sample` bytes).
+bool rle_decode_frame(const uint8_t* frame, size_t frame_len, uint8_t* out,
+                      size_t npix, uint32_t bytes_per_sample, char* err,
+                      size_t err_cap) {
+  if (frame_len < 64) {
+    snprintf(err, err_cap, "RLE frame shorter than its 64-byte header");
+    return false;
+  }
+  auto u32at = [&](size_t off) {
+    return static_cast<uint32_t>(frame[off]) |
+           (static_cast<uint32_t>(frame[off + 1]) << 8) |
+           (static_cast<uint32_t>(frame[off + 2]) << 16) |
+           (static_cast<uint32_t>(frame[off + 3]) << 24);
+  };
+  uint32_t nseg = u32at(0);
+  if (nseg != bytes_per_sample) {
+    snprintf(err, err_cap,
+             "RLE segment count %u != %u bytes/sample (only 1 sample/pixel "
+             "grayscale is supported)",
+             nseg, bytes_per_sample);
+    return false;
+  }
+  for (uint32_t s = 0; s < nseg; ++s) {
+    uint64_t start = u32at(4 + 4 * s);
+    uint64_t end = (s + 1 < nseg) ? u32at(4 + 4 * (s + 1)) : frame_len;
+    if (start < 64 || end > frame_len || start > end) {
+      snprintf(err, err_cap, "RLE segment %u offsets out of range", s);
+      return false;
+    }
+    if (!rle_decode_segment(frame + start, end - start, out, npix,
+                            bytes_per_sample, s)) {
+      snprintf(err, err_cap,
+               "RLE segment %u truncated (decoded fewer than Rows*Cols "
+               "samples)",
+               s);
+      return false;
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -143,7 +248,16 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
     uint16_t group = c.u16();
     uint16_t elem = c.u16();
     if (!vr_decided && group != 0x0002) {
-      // First non-meta element decides the transfer syntax encoding.
+      // The meta group is over; syntaxes that re-encode the whole main
+      // dataset can't be parsed element-by-element — say which one this is.
+      if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.1.99") == 0 ||
+          strcmp(result->transfer_syntax, "1.2.840.10008.1.2.2") == 0) {
+        snprintf(result->error, sizeof(result->error),
+                 "unsupported transfer syntax %s (%s)",
+                 result->transfer_syntax, syntax_name(result->transfer_syntax));
+        return 4;
+      }
+      // First non-meta element decides the VR encoding.
       explicit_vr = looks_like_vr(c.p[c.off], c.p[c.off + 1]);
       vr_decided = true;
     }
@@ -169,9 +283,69 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
 
     if (group == kGroupPixel && elem == kElemPixelData) {
       if (len == 0xFFFFFFFFu) {
-        snprintf(result->error, sizeof(result->error),
-                 "encapsulated (compressed) pixel data unsupported");
-        return 4;
+        // Encapsulated pixel data: items (FFFE,E000) — the Basic Offset
+        // Table first, then one fragment per frame (PS3.5 A.4; RLE requires
+        // exactly one fragment per frame, and mammography exports are
+        // single-frame, so the first fragment is the image).
+        if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.5") != 0) {
+          snprintf(result->error, sizeof(result->error),
+                   "encapsulated pixel data in unsupported transfer syntax "
+                   "%s (%s); only RLE Lossless (1.2.840.10008.1.2.5) and "
+                   "uncompressed little-endian are supported",
+                   result->transfer_syntax[0] ? result->transfer_syntax
+                                              : "(missing 0002,0010)",
+                   syntax_name(result->transfer_syntax));
+          return 4;
+        }
+        if (result->rows == 0 || result->cols == 0) {
+          snprintf(result->error, sizeof(result->error),
+                   "RLE pixel data precedes Rows/Columns");
+          return 4;
+        }
+        uint32_t bps = (result->bits_allocated ? result->bits_allocated : 16) / 8;
+        if (bps < 1 || bps > 2) {
+          snprintf(result->error, sizeof(result->error),
+                   "RLE with BitsAllocated %u unsupported",
+                   result->bits_allocated);
+          return 4;
+        }
+        size_t npix = static_cast<size_t>(result->rows) * result->cols;
+        size_t item_index = 0;
+        while (c.have(8)) {
+          uint16_t g2 = c.u16();
+          uint16_t e2 = c.u16();
+          uint32_t l2 = c.u32();
+          if (g2 == 0xFFFE && e2 == 0xE0DD) break;
+          if (g2 != 0xFFFE || e2 != 0xE000 || !c.have(l2)) {
+            if (result->pixels) { free(result->pixels); result->pixels = nullptr; }
+            snprintf(result->error, sizeof(result->error),
+                     "malformed encapsulated pixel-data item");
+            return 4;
+          }
+          if (item_index++ > 0 && !result->pixels) {  // first fragment
+            result->pixels = static_cast<uint8_t*>(malloc(npix * bps));
+            if (!result->pixels) {
+              snprintf(result->error, sizeof(result->error), "alloc failed");
+              return 6;
+            }
+            char err[128] = {0};
+            if (!rle_decode_frame(c.p + c.off, l2, result->pixels, npix, bps,
+                                  err, sizeof(err))) {
+              free(result->pixels);
+              result->pixels = nullptr;
+              snprintf(result->error, sizeof(result->error), "%s", err);
+              return 4;
+            }
+            result->pixel_bytes = npix * bps;
+          }
+          c.off += l2;
+        }
+        if (!result->pixels) {
+          snprintf(result->error, sizeof(result->error),
+                   "encapsulated pixel data held no fragment");
+          return 4;
+        }
+        continue;
       }
       if (!c.have(len)) {
         snprintf(result->error, sizeof(result->error), "truncated pixel data");
@@ -207,7 +381,10 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
     if (!c.have(len)) break;
     const uint8_t* data = c.p + c.off;
 
-    if (group == 0x0028) {
+    if (group == 0x0002 && elem == 0x0010) {
+      copy_trimmed(result->transfer_syntax, sizeof(result->transfer_syntax),
+                   data, len);
+    } else if (group == 0x0028) {
       bool is_us = !elem_explicit || (vr[0] == 'U' && vr[1] == 'S');
       switch (elem) {
         case 0x0010: result->rows = parse_uint_value(data, len, is_us); break;
