@@ -174,17 +174,88 @@ def run_bench(
     }
 
 
+def measure_train_step_ms(
+    *, bag_size: int = 256, patch: int = 224, use_pallas: bool = False
+) -> float:
+    """Device ms per full training step (embed + head fwd with dropout,
+    CE+aux, backward, grad-accum add, Adam update) at the benchmark
+    workload, slope method (same chains as the inference headline;
+    breakdown in docs/PERFORMANCE.md §train-step audit)."""
+    import optax
+
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+    from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
+    from montecarlo_gated_mil_tpu.train.state import TrainState, make_train_step
+
+    model = MultiHeadGatedAttentionMIL(
+        backbone="r18", dtype=jnp.bfloat16,
+        feature_dropout=0.25, attention_dropout=0.25,
+    )
+    key = jax.random.key(0)
+    variables = jax.jit(model.init)(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 64, 64, 3), jnp.float32), jnp.ones((8,), bool),
+    )
+    opt = optax.adam(3e-5)
+    state = TrainState.create(variables["params"], opt)
+    step = make_train_step(
+        model, cross_entropy, opt, accumulation_steps=1, use_pallas=use_pallas
+    )
+    patches = jax.random.normal(key, (bag_size, patch, patch, 3), jnp.bfloat16)
+    mask = jnp.ones((bag_size,), bool)
+    tidx = jnp.arange(bag_size, dtype=jnp.int32)
+    label = jnp.asarray(1, jnp.int32)
+
+    def chain(k):
+        @jax.jit
+        def f(st, p):
+            def body(carry, i):
+                st = carry
+                b = Bag(
+                    patches=p + st.step.astype(p.dtype) * 0,
+                    mask=mask, label=label, tile_indices=tidx,
+                )
+                st, m = step(st, b, jax.random.fold_in(key, i), jnp.asarray(True))
+                return st, m["loss"]
+
+            st, losses = jax.lax.scan(body, st, jnp.arange(k))
+            return jnp.sum(losses)
+
+        return lambda: float(f(state, patches))
+
+    totals = {}
+    for k in (2, 5, 10):
+        g = chain(k)
+        g()  # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            g()
+            best = min(best, time.perf_counter() - t0)
+        totals[k] = best
+    slopes = sorted(
+        (totals[b] - totals[a]) / (b - a) for a, b in ((2, 5), (5, 10), (2, 10))
+    )
+    return slopes[1] * 1e3
+
+
 def run_bench_both(cfg: Config | None = None, **kw) -> dict:
     """Headline record carrying BOTH inference paths: ``value`` is the int8
     PTQ serving default (when it differs), ``value_exact_bf16`` the exact
     float path — so the recorded series stays unambiguous across rounds
-    (r01 measured exact, r02 int8; from r03 every record carries both)."""
+    (r01 measured exact, r02 int8; from r03 every record carries both).
+    ``train_step_ms`` (from r04) is the full training step at the same
+    workload."""
     kw.pop("quantized", None)
     result = run_bench(cfg, **kw)
     if "int8" in result["metric"]:
         exact = run_bench(cfg, quantized=False, **kw)
         result["value_exact_bf16"] = exact["value"]
         result["vs_baseline_exact_bf16"] = exact["vs_baseline"]
+    try:
+        result["train_step_ms"] = round(measure_train_step_ms(), 2)
+    except Exception:  # noqa: BLE001 — never let the audit sink the headline
+        result["train_step_ms"] = None
     return result
 
 
