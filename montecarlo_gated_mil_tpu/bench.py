@@ -183,7 +183,6 @@ def measure_train_step_ms(
     breakdown in docs/PERFORMANCE.md §train-step audit)."""
     import optax
 
-    from montecarlo_gated_mil_tpu.core.bag import Bag
     from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
     from montecarlo_gated_mil_tpu.train.state import TrainState, make_train_step
 
@@ -205,38 +204,16 @@ def measure_train_step_ms(
     mask = jnp.ones((bag_size,), bool)
     tidx = jnp.arange(bag_size, dtype=jnp.int32)
     label = jnp.asarray(1, jnp.int32)
-
-    def chain(k):
-        @jax.jit
-        def f(st, p):
-            def body(carry, i):
-                st = carry
-                b = Bag(
-                    patches=p + st.step.astype(p.dtype) * 0,
-                    mask=mask, label=label, tile_indices=tidx,
-                )
-                st, m = step(st, b, jax.random.fold_in(key, i), jnp.asarray(True))
-                return st, m["loss"]
-
-            st, losses = jax.lax.scan(body, st, jnp.arange(k))
-            return jnp.sum(losses)
-
-        return lambda: float(f(state, patches))
-
-    totals = {}
-    for k in (2, 5, 10):
-        g = chain(k)
-        g()  # compile + warm
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            g()
-            best = min(best, time.perf_counter() - t0)
-        totals[k] = best
-    slopes = sorted(
-        (totals[b] - totals[a]) / (b - a) for a, b in ((2, 5), (5, 10), (2, 10))
+    # One shared harness with tools/profile_train.py (the audit): a
+    # methodology change there cannot silently diverge from the recorded
+    # train_step_ms series.
+    from montecarlo_gated_mil_tpu.utils.profiling import (
+        slope_of_chain,
+        train_step_chain,
     )
-    return slopes[1] * 1e3
+
+    build = train_step_chain(step, state, patches, mask, label, tidx, key)
+    return slope_of_chain(build, ks=(2, 5, 10)) * 1e3
 
 
 def run_bench_both(cfg: Config | None = None, **kw) -> dict:

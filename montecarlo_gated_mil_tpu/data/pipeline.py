@@ -169,6 +169,15 @@ def count_valid_tiles(
     return n
 
 
+# Generous second margin for the estimator's uncertainty band: a bucket
+# decision that flips between ``margin`` and ``margin_hi`` is borderline —
+# the stride-4 subsample could be hiding enough fill to cross a boundary
+# (content-affecting: a too-small bucket drops tiles via top-k selection).
+# Callers resolve the band with an exact device count (loader) or by taking
+# the larger bucket (serving, padding-only cost).
+ESTIMATE_MARGIN_HI = 0.10
+
+
 def estimate_valid_tiles(
     image: np.ndarray,
     flip: bool,
@@ -177,7 +186,8 @@ def estimate_valid_tiles(
     *,
     subsample: int = 4,
     margin: float = 0.03,
-) -> int | None:
+    margin_hi: float | None = None,
+) -> int | tuple[int, int] | None:
     """Host-side conservative estimate of :func:`count_valid_tiles`.
 
     Serving needs the per-request bucket *before* dispatching the jitted
@@ -189,10 +199,14 @@ def estimate_valid_tiles(
     estimated fill exceeds ``empty_threshold - margin``.
 
     The ``margin`` makes the estimate overshoot on borderline tiles, so the
-    chosen bucket is almost always >= the exact count's — and a rare
-    undershoot only truncates the *lowest-fill* tiles via ``select_tiles``'s
-    top-k (the same graceful mechanism as the reference's ``bag_size`` cap,
-    ``image_patcher.py:127-128``); it never corrupts kept tiles.
+    chosen bucket is almost always >= the exact count's.  A subsample can
+    still undershoot in principle (nonzeros concentrated off the sample
+    grid), so callers that make content-affecting decisions from the count
+    pass ``margin_hi`` (typically :data:`ESTIMATE_MARGIN_HI`) to ALSO get a
+    generous-margin count back as ``(n, n_hi)`` — computed from the same
+    fill pass, ~free.  When the two counts land on different bucket
+    decisions the subsample is untrustworthy for this image: resolve with
+    the exact device count (loader) or round up (serving).
 
     Returns None when ``image.shape`` differs from the pipeline size (the
     canonical path would resize; the subsampled geometry no longer maps) —
@@ -224,7 +238,15 @@ def estimate_valid_tiles(
     n = int(np.sum(fill > cfg.empty_threshold - margin))
     if cfg.bag_size > 0:
         n = min(n, cfg.bag_size)
-    return n
+    if margin_hi is None:
+        return n
+    # Clamped at zero: a sampled-all-zero tile never counts (mammogram
+    # background is exact zero), but ANY sampled fill keeps a tile in the
+    # generous count when the threshold is smaller than the margin.
+    n_hi = int(np.sum(fill > max(cfg.empty_threshold - margin_hi, 0.0)))
+    if cfg.bag_size > 0:
+        n_hi = min(n_hi, cfg.bag_size)
+    return n, n_hi
 
 
 class BagLoader:
@@ -358,7 +380,9 @@ class BagLoader:
         margin-safe) replaces the exact device count the round-3 loader
         paid ~25 ms tunnel RTT per bag for; the exact count is only used
         when the image shape mismatches the pipeline (the resize path,
-        where the subsampled geometry no longer maps).
+        where the subsampled geometry no longer maps) or when the bucket
+        decision flips inside the estimator's uncertainty band (rare,
+        content-affecting either way — never truncate on a guess).
         """
         cfg = self.cfg
         # Can this bag even exceed the cap?  Only when the grid offers more
@@ -370,16 +394,22 @@ class BagLoader:
         )
         if self.bucket_spec is None and not may_overflow:
             return cfg.bucket
-        n = estimate_valid_tiles(image, rec.laterality == "R", self._starts_np, cfg)
-        if n is None:
+        est = estimate_valid_tiles(
+            image, rec.laterality == "R", self._starts_np, cfg,
+            margin_hi=ESTIMATE_MARGIN_HI,
+        )
+        if est is None:
             n = int(count_valid_tiles(img, flip, self._starts, cfg))
-        if may_overflow and n > cfg.bucket:
-            if self.oversized == "extend":
-                spec = self.bucket_spec or BucketSpec((cfg.bucket,))
-                # Divisible by the local device count so the oversized bag
-                # can instance-shard across the mesh (parallel/instance.py).
-                mult = jax.device_count() if jax.process_count() == 1 else 1
-                return spec.extended_bucket(n, multiple_of=mult)
+        else:
+            n, n_hi = est
+            if self._decide(n, may_overflow) != self._decide(n_hi, may_overflow):
+                # Borderline bag: the subsample could be hiding enough fill
+                # to cross a bucket boundary — content-affecting, a too-small
+                # bucket drops tiles via top-k.  Pay the exact device count
+                # (~25 ms once; typical bags never land in the band).
+                n = int(count_valid_tiles(img, flip, self._starts, cfg))
+        bucket, overflowed = self._decide(n, may_overflow)
+        if overflowed and self.oversized != "extend":
             self.truncated_bags += 1
             if not self._warned_truncation:
                 self._warned_truncation = True
@@ -392,10 +422,24 @@ class BagLoader:
                     "oversized_bags='extend' to keep every tile",
                     stacklevel=3,
                 )
-            return cfg.bucket
+        return bucket
+
+    def _decide(self, n: int, may_overflow: bool) -> tuple[int, bool]:
+        """Map a valid-tile count to ``(bucket, overflowed)`` under the
+        loader's oversize policy — pure, so ``_pick_bucket`` can compare the
+        decision at two estimator margins."""
+        cfg = self.cfg
+        if may_overflow and n > cfg.bucket:
+            if self.oversized == "extend":
+                spec = self.bucket_spec or BucketSpec((cfg.bucket,))
+                # Divisible by the local device count so the oversized bag
+                # can instance-shard across the mesh (parallel/instance.py).
+                mult = jax.device_count() if jax.process_count() == 1 else 1
+                return spec.extended_bucket(n, multiple_of=mult), True
+            return cfg.bucket, True
         if self.bucket_spec is not None:
-            return min(self.bucket_spec.bucket_for(n), cfg.bucket)
-        return cfg.bucket
+            return min(self.bucket_spec.bucket_for(n), cfg.bucket), False
+        return cfg.bucket, False
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[Bag, BagRecord]]:
         """Yield ``(Bag, record)`` with background prefetch."""

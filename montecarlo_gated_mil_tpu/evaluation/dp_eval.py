@@ -56,6 +56,7 @@ def mc_test_dp(
         _finish_test,
         _mc_test_step_sharded,
         _shard_mesh_for,
+        warn_float_shard,
     )
 
     mesh = mesh or make_mesh()
@@ -86,10 +87,14 @@ def mc_test_dp(
     # pending bytes exceed max(budget, one mesh batch of the largest bag)
     # the byte-heaviest partial group flushes early.
     batcher = BucketBatcher(batch, pending_budget_bytes)
+    warned_shard = False
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         targets.append(int(bag.label))
         if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            if quantized and not warned_shard:
+                warned_shard = True
+                warn_float_shard(quantized=True)
             results[i] = int(
                 _mc_test_step_sharded(model, num_samples)(
                     params, bag.patches, bag.mask, jax.random.fold_in(key, i)

@@ -201,14 +201,22 @@ def _fit(
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
     val_key = rnglib.named_key(rnglib.root_key(cfg.seed), "mc-val")
     start_epoch = 1
-    if resume and checkpointer is not None and checkpointer.latest_step() is not None:
-        state, meta, best = checkpointer.restore(state)
-        stopper.load_state_dict(meta["early_stop"])
-        # Without this, a resumed run that never improves on the pre-crash
-        # best_loss would fall back to final-epoch params at save time.
-        stopper.best_params = best
-        start_epoch = int(meta["epoch"]) + 1
-        print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
+    if checkpointer is not None and checkpointer.latest_step() is not None:
+        if resume:
+            state, meta, best = checkpointer.restore(state)
+            stopper.load_state_dict(meta["early_stop"])
+            # Without this, a resumed run that never improves on the
+            # pre-crash best_loss would fall back to final-epoch params at
+            # save time.
+            stopper.best_params = best
+            start_epoch = int(meta["epoch"]) + 1
+            print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
+        else:
+            # Fresh run into a directory holding a previous run's steps:
+            # purge them, or orbax would skip every save of THIS run and a
+            # later --resume would restore the stale run's weights.
+            print(f"Fresh run: purging stale checkpoints in {checkpointer.directory}")
+            checkpointer.purge_steps()
     for epoch in range(start_epoch, cfg.training_plan.parameters.epochs + 1):
         if use_dp:
             state = train_epoch_dp(

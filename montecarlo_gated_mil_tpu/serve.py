@@ -94,6 +94,11 @@ class MCDOPredictor:
                 f"oversized must be 'extend' or 'truncate', got {oversized!r}"
             )
         self.oversized = oversized
+        # Oversized requests capped under oversized='truncate' — truncation
+        # is never silent (loud warning on first occurrence + this counter,
+        # mirroring BagLoader.truncated_bags).
+        self.truncated_requests = 0
+        self._warned_truncation = False
         self.model = model
         self.params = params
         self.pipeline = pipeline
@@ -165,30 +170,65 @@ class MCDOPredictor:
         at dense high-overlap geometries — extend past the cap under
         ``oversized='extend'`` (quantized sizes via
         ``BucketSpec.extended_bucket``; every tile kept, matching the
-        reference's ``bag_size: -1``) instead of silently dropping the
-        lowest-fill tiles."""
+        reference's ``bag_size: -1``); under ``'truncate'`` they count into
+        ``self.truncated_requests`` and warn once — truncation is a policy
+        here, never a silent event (core/config.py's documented contract).
+
+        When the bucket decision flips inside the estimator's uncertainty
+        band the request takes the LARGER bucket: serving never blocks on a
+        device count, and rounding up costs only padding, never tiles."""
         cap = self.pipeline.bucket
-        may_overflow = self.oversized == "extend" and (
-            self._grid.num_tiles > cap
-            and (self.pipeline.bag_size <= 0 or self.pipeline.bag_size > cap)
+        may_overflow = self._grid.num_tiles > cap and (
+            self.pipeline.bag_size <= 0 or self.pipeline.bag_size > cap
         )
         if self.bucket_spec is None and not may_overflow:
             return cap
-        from montecarlo_gated_mil_tpu.core.bag import BucketSpec
-        from montecarlo_gated_mil_tpu.data.pipeline import estimate_valid_tiles
-
-        n = estimate_valid_tiles(
-            arr, laterality == "R", self._starts_np, self.pipeline
+        from montecarlo_gated_mil_tpu.data.pipeline import (
+            ESTIMATE_MARGIN_HI,
+            estimate_valid_tiles,
         )
-        if n is None:
+
+        est = estimate_valid_tiles(
+            arr, laterality == "R", self._starts_np, self.pipeline,
+            margin_hi=ESTIMATE_MARGIN_HI,
+        )
+        if est is None:
             return cap
+        n, n_hi = est
+        bucket, overflowed = max(
+            self._decide_bucket(n, may_overflow),
+            self._decide_bucket(n_hi, may_overflow),
+        )
+        if overflowed and self.oversized != "extend":
+            self.truncated_requests += 1
+            if not self._warned_truncation:
+                self._warned_truncation = True
+                import warnings
+
+                warnings.warn(
+                    f"request with ~{n} valid tiles truncated to bucket "
+                    f"{cap} (lowest-fill tiles dropped; oversized="
+                    "'truncate'); use oversized='extend' to keep every tile",
+                    stacklevel=3,
+                )
+        return bucket
+
+    def _decide_bucket(self, n: int, may_overflow: bool) -> tuple[int, bool]:
+        """Map a valid-tile count to ``(bucket, overflowed)`` under the
+        predictor's oversize policy (the serving twin of
+        ``BagLoader._decide``)."""
+        cap = self.pipeline.bucket
         if may_overflow and n > cap:
-            spec = self.bucket_spec or BucketSpec((cap,))
-            mult = jax.device_count() if jax.process_count() == 1 else 1
-            return spec.extended_bucket(n, multiple_of=mult)
+            if self.oversized == "extend":
+                from montecarlo_gated_mil_tpu.core.bag import BucketSpec
+
+                spec = self.bucket_spec or BucketSpec((cap,))
+                mult = jax.device_count() if jax.process_count() == 1 else 1
+                return spec.extended_bucket(n, multiple_of=mult), True
+            return cap, True
         if self.bucket_spec is None:
-            return cap
-        return min(self.bucket_spec.bucket_for(n), cap)
+            return cap, False
+        return min(self.bucket_spec.bucket_for(n), cap), False
 
     def _infer_for(self, bucket: int):
         """The jitted end-to-end request program for one bag bucket.
@@ -509,8 +549,29 @@ class MCDOPredictor:
         map is 1/64 of that.
         """
         arr, inv_max = _prepare_image(image, pixel_max)
+        return self._predict_prepared(
+            arr, inv_max, laterality, seed=seed,
+            return_maps=return_maps, map_downsample=map_downsample,
+        )
+
+    def _predict_prepared(
+        self,
+        arr,
+        inv_max,
+        laterality: str,
+        *,
+        seed: int,
+        return_maps: bool = False,
+        map_downsample: int = 1,
+        bucket: int | None = None,
+    ) -> PredictionResult:
+        """``predict`` after host-side image prep.  ``predict_many``'s
+        oversized detour enters here so the prepared array and the bucket
+        estimate (a full-image host pass + ~5 ms SAT at production size)
+        are not redone per request."""
         flip = jnp.asarray(laterality == "R")
-        bucket = self._pick_bucket(arr, laterality)
+        if bucket is None:
+            bucket = self._pick_bucket(arr, laterality)
         if getattr(self, "_warming", False) and bucket not in self._compiled:
             # Background warmup in progress: round up to the smallest
             # FINISHED-compiling sufficient bucket (same result, more
@@ -635,12 +696,14 @@ class MCDOPredictor:
                 )
                 # Oversized requests (more valid tiles than the cap bucket,
                 # oversized='extend') cannot ride the fixed-bucket dp batch
-                # — ``predict`` runs them instance-sharded/whole instead of
-                # letting ``_bag_fn``'s cap truncate them.
-                if self._pick_bucket(arr, lateralities[lo + j]) > self.pipeline.bucket:
-                    results[lo + j] = self.predict(
-                        images[lo + j], lateralities[lo + j],
-                        seed=seeds[lo + j], pixel_max=pixel_maxes[lo + j],
+                # — run them instance-sharded/whole instead of letting
+                # ``_bag_fn``'s cap truncate them (prepared array + bucket
+                # reused, not recomputed).
+                bucket = self._pick_bucket(arr, lateralities[lo + j])
+                if bucket > self.pipeline.bucket:
+                    results[lo + j] = self._predict_prepared(
+                        arr, inv_max, lateralities[lo + j],
+                        seed=seeds[lo + j], bucket=bucket,
                     )
                     continue
                 group_js.append(j)

@@ -59,6 +59,24 @@ def _shard_mesh_for(bucket: int, shard_over: int | None):
     return mesh
 
 
+def warn_float_shard(quantized: bool = False, use_pallas: bool = False) -> None:
+    """Oversized bags evaluate on the exact float instance-sharded path;
+    the int8 and fused-Pallas variants are single-chip programs and do not
+    apply there.  Callers say so (once per eval loop) so a metric labeled
+    int8/Pallas is never silently a mixed-regime number."""
+    import warnings
+
+    what = " + ".join(
+        n for n, on in (("int8", quantized), ("fused-Pallas", use_pallas)) if on
+    )
+    warnings.warn(
+        f"oversized bag routed to the instance-sharded EXACT float path; the "
+        f"{what} single-chip variant does not apply there — this metric "
+        "mixes evaluation regimes for such bags",
+        stacklevel=3,
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _det_step_sharded(model, criterion):
     """Deterministic forward with the instance axis sharded over all
@@ -497,12 +515,17 @@ def mc_validate(
     gradient-capable; dropout masks come from the hardware PRNG, so losses
     are statistically equivalent but not bit-identical to the default.
     ``shard_over``: oversized bags route to the instance-sharded step."""
-    step = _mc_val_step(model, criterion, num_samples, _allow_pallas(model, use_pallas))
+    pallas_on = _allow_pallas(model, use_pallas)
+    step = _mc_val_step(model, criterion, num_samples, pallas_on)
     running_loss = running_aux = correct = total = 0.0
+    warned_shard = False
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         k = jax.random.fold_in(jax.random.fold_in(key, epoch), i)
         if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            if pallas_on and not warned_shard:
+                warned_shard = True
+                warn_float_shard(use_pallas=True)
             loss, aux, pred = _mc_val_step_sharded(model, criterion, num_samples)(
                 params, bag.patches, bag.mask, bag.label, k
             )
@@ -603,12 +626,17 @@ def mc_test(
     it) evaluate instance-sharded over all devices when a mesh is available
     (float path — the Pallas/int8 single-chip variants don't apply there).
     """
-    step = _mc_test_step(model, num_samples, _allow_pallas(model, use_pallas), quantized)
+    pallas_on = _allow_pallas(model, use_pallas)
+    step = _mc_test_step(model, num_samples, pallas_on, quantized)
     preds, targets = [], []
+    warned_shard = False
     items = loader.epoch(0) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
         k = jax.random.fold_in(key, i)
         if _shard_mesh_for(bag.bucket, shard_over) is not None:
+            if (quantized or pallas_on) and not warned_shard:
+                warned_shard = True
+                warn_float_shard(quantized=quantized, use_pallas=pallas_on)
             pred = _mc_test_step_sharded(model, num_samples)(
                 params, bag.patches, bag.mask, k
             )

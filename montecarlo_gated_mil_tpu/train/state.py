@@ -82,6 +82,17 @@ def make_train_step(
     ``tpu.use_pallas_train`` default.
     """
 
+    if use_pallas and jax.default_backend() != "tpu" and (
+        model.feature_dropout != 0.0 or model.attention_dropout != 0.0
+    ):
+        # Off-TPU the fused kernel runs interpreted and only its
+        # deterministic path (the hardware PRNG has no CPU lowering) — fall
+        # back to the jnp head instead of crashing with an opaque
+        # NotImplementedError, the same guard train/loops._allow_pallas
+        # applies to the eval steps.  Here rather than at the runners call
+        # site so every caller (tests, tools, direct API use) is covered.
+        use_pallas = False
+
     if use_pallas:
         from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
@@ -238,13 +249,36 @@ class Checkpointer:
         )
         if best_params is not None:
             items["best"] = self._ocp.args.StandardSave(best_params)
-        self._mgr.save(step, args=self._ocp.args.Composite(**items))
+        saved = self._mgr.save(step, args=self._ocp.args.Composite(**items))
+        if not saved:
+            # Orbax SILENTLY skips a save onto an existing step (returns
+            # False) — e.g. a fresh run writing into a directory a previous
+            # run checkpointed.  Persisting nothing while training continues
+            # would make a later resume restore the STALE run's weights;
+            # fail loudly instead (fresh runs purge via purge_steps()).
+            raise RuntimeError(
+                f"checkpoint save skipped: step {step} already exists in "
+                f"{self.directory} (left by a previous run?). Resume it, "
+                "purge_steps(), or use a fresh directory."
+            )
         if not self.async_save:
             self._mgr.wait_until_finished()
 
     def wait(self):
         """Block until any in-flight async save completes."""
         self._mgr.wait_until_finished()
+
+    def purge_steps(self) -> None:
+        """Delete every checkpointed step in the directory.
+
+        A FRESH run (resume=False) writing into a directory a previous run
+        checkpointed must call this first: orbax's ``save`` silently skips
+        steps that already exist, so the new run's state would never
+        persist and ``--resume`` after a crash would restore the previous
+        run's weights."""
+        self._mgr.wait_until_finished()
+        for step in list(self._mgr.all_steps()):
+            self._mgr.delete(step)
 
     def latest_step(self) -> int | None:
         self._mgr.wait_until_finished()

@@ -15,6 +15,62 @@ from collections import defaultdict
 from dataclasses import dataclass, field
 
 
+def slope_of_chain(build_chain, ks=(2, 5, 10), reps: int = 4) -> float:
+    """Median pairwise slope for computations that build their own scan —
+    e.g. a TrainState carried across iterations, where :func:`slope_time`'s
+    generic perturb-first-arg chain does not apply.  ``build_chain(k)``
+    returns a zero-arg callable whose result forces completion (a ``float()``
+    scalar readback).  One definition so the bench's recorded
+    ``train_step_ms`` and the audit harness (tools/profile_train.py) can
+    never diverge in methodology."""
+    totals = {}
+    for k in ks:
+        g = build_chain(k)
+        g()  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            g()
+            best = min(best, time.perf_counter() - t0)
+        totals[k] = best
+    slopes = sorted(
+        (totals[b] - totals[a]) / (b - a)
+        for a, b in ((ks[0], ks[1]), (ks[1], ks[2]), (ks[0], ks[2]))
+    )
+    return slopes[1]
+
+
+def train_step_chain(step, state, patches, mask, label, tile_indices, key):
+    """``build_chain`` (for :func:`slope_of_chain`) running ``step`` — a
+    ``make_train_step`` callable — k times inside one jitted ``lax.scan``.
+    The bag's patches are perturbed by the carried optimizer step count
+    (``+ st.step * 0`` defeats CSE without changing values), so the scanned
+    steps cannot collapse."""
+    import jax
+    import jax.numpy as jnp
+
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+
+    def build(k):
+        @jax.jit
+        def f(st, p):
+            def body(carry, i):
+                st = carry
+                b = Bag(
+                    patches=p + st.step.astype(p.dtype) * 0,
+                    mask=mask, label=label, tile_indices=tile_indices,
+                )
+                st, m = step(st, b, jax.random.fold_in(key, i), jnp.asarray(True))
+                return st, m["loss"]
+
+            st, losses = jax.lax.scan(body, st, jnp.arange(k))
+            return jnp.sum(losses)
+
+        return lambda: float(f(state, patches))
+
+    return build
+
+
 def slope_time(fn, *args, ks=(2, 6, 12), reps: int = 4) -> float:
     """Pure device time per call of ``fn(*args)`` via the chained-iteration
     slope (the project's canonical measurement method, docs/PERFORMANCE.md

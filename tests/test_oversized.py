@@ -324,8 +324,102 @@ def test_predictor_extends_oversized_requests():
         use_pallas=False, bucket_spec=BucketSpec((8, 16)),
         oversized="truncate",
     )
-    assert trunc._pick_bucket(img, "L") == 16
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # loud-truncation warning tested below
+        assert trunc._pick_bucket(img, "L") == 16
     # predict_many routes the oversized request off the dp batch path
     many = predictor.predict_many([img, np.zeros((H, W), np.float32)])
     assert many[0].num_instances == N_VALID
     assert many[1].num_instances == 0
+
+
+def test_loader_borderline_estimate_falls_back_to_exact(monkeypatch):
+    """A bucket decision that flips inside the estimator's uncertainty band
+    (standard vs generous margin) resolves with the exact device count —
+    the loader never truncates on a guess (round-4 review finding: an
+    estimator undershoot used to truncate silently despite 'extend')."""
+    import montecarlo_gated_mil_tpu.data.pipeline as pl
+
+    calls = []
+    real_count = pl.count_valid_tiles
+
+    def exact(img, flip, starts, cfg):
+        calls.append(1)
+        return real_count(img, flip, starts, cfg)
+
+    # 15 fits the 16-tile cap, 20 overflows it: untrustworthy subsample.
+    monkeypatch.setattr(pl, "estimate_valid_tiles", lambda *a, **k: (15, 20))
+    monkeypatch.setattr(pl, "count_valid_tiles", exact)
+    bag, _rec = next(iter(_loader()))
+    assert calls, "exact count must break the estimator tie"
+    assert int(bag.num_instances) == N_VALID  # nothing truncated
+
+
+def test_serve_ambiguous_estimate_rounds_up(monkeypatch):
+    """Serving never blocks on a device count: an ambiguous subsample takes
+    the LARGER bucket (padding-only cost, never dropped tiles)."""
+    import montecarlo_gated_mil_tpu.data.pipeline as pl
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.serve import MCDOPredictor
+
+    model = MultiHeadGatedAttentionMIL(backbone="r18")
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, PATCH, PATCH, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    predictor = MCDOPredictor(
+        model, variables["params"], DENSE_CFG, num_samples=2,
+        use_pallas=False, bucket_spec=BucketSpec((8, 16)),
+    )
+    monkeypatch.setattr(
+        "montecarlo_gated_mil_tpu.data.pipeline.estimate_valid_tiles",
+        lambda *a, **k: (15, 20),
+    )
+    img = np.ones((H, W), np.float32)
+    expect = BucketSpec((8, 16)).extended_bucket(20, multiple_of=jax.device_count())
+    assert predictor._pick_bucket(img, "L") == expect
+    assert predictor.truncated_requests == 0
+
+
+def test_serve_truncate_policy_counts_and_warns():
+    """Truncation is a policy, never a silent event: the serving twin of
+    BagLoader.truncated_bags (core/config.py's documented contract)."""
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.serve import MCDOPredictor
+
+    model = MultiHeadGatedAttentionMIL(backbone="r18")
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, PATCH, PATCH, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    trunc = MCDOPredictor(
+        model, variables["params"], DENSE_CFG, num_samples=2,
+        use_pallas=False, bucket_spec=BucketSpec((8, 16)),
+        oversized="truncate",
+    )
+    img = np.ones((H, W), np.float32)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert trunc._pick_bucket(img, "L") == 16
+        assert trunc._pick_bucket(img, "L") == 16
+    assert trunc.truncated_requests == 2
+    assert sum("truncated" in str(w.message) for w in caught) == 1  # warn once
+
+
+def test_mc_test_warns_on_mixed_regime(small_model_and_params):
+    """int8 (or fused-Pallas) eval says so when an oversized bag routes to
+    the exact float sharded path — a metric labeled int8 is never silently
+    a mixed-regime number."""
+    from montecarlo_gated_mil_tpu.train.loops import mc_test
+
+    model, params = small_model_and_params
+    big = _oversized_bag(bucket=64, label=1)
+    with pytest.warns(UserWarning, match="mixes evaluation regimes"):
+        mc_test(
+            model, params, [(big, None)], num_samples=2,
+            key=jax.random.key(4), quantized=True, shard_over=16,
+        )

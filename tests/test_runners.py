@@ -369,3 +369,29 @@ def test_cv_progress_load_is_validated(tmp_path):
     _write_cv_progress(str(tmp_path / "cv_progress_p1.json"), [dup, other])
     merged = _load_cv_progress(str(tmp_path), {0, 1})
     assert merged == [good, other]  # cv_progress.json sorts before _p1
+
+
+@pytest.mark.slow
+def test_fresh_run_over_stale_checkpoints_persists(tmp_path):
+    """A second run (resume=False) into a model_path a previous run
+    checkpointed must purge the stale steps and persist its OWN state —
+    orbax silently skips saves onto existing steps, so without the purge a
+    later --resume would restore the first run's weights (round-4 review
+    finding).  Checkpointer.save now raises on a skipped save, so this test
+    fails loudly if the purge path regresses."""
+    cfg = _tiny_config(
+        tmp_path,
+        training_plan={
+            "weighted_sampler": False,
+            "parameters": {"epochs": 2, "patience": 3, "grad_acc_steps": 1},
+        },
+    )
+    from montecarlo_gated_mil_tpu.runners import run_training
+    from montecarlo_gated_mil_tpu.train import Checkpointer
+
+    run_training(cfg)
+    cfg2 = _tiny_config(tmp_path, seed=8)  # same model_path, new run
+    run_training(cfg2)  # raises without the _fit purge
+    ckpt = Checkpointer(os.path.join(cfg.model_path, "train_state"))
+    assert ckpt.latest_step() is not None  # the second run's state persisted
+    ckpt.close()

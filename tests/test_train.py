@@ -362,3 +362,65 @@ def test_train_step_fused_head_gradient_parity(shared):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4
         )
+
+
+def test_fresh_run_over_stale_steps_raises_then_purges(tmp_path):
+    """Orbax SILENTLY skips a save onto an existing step (returns False):
+    a fresh run writing into a directory a previous run checkpointed would
+    persist nothing, and a later --resume would restore the stale run's
+    weights.  ``save`` now fails loudly and ``purge_steps`` clears the way
+    (runners._fit purges automatically when resume=False)."""
+    from montecarlo_gated_mil_tpu.train import Checkpointer
+
+    opt = optax.adam(1e-3)
+    old = TrainState.create({"w": jnp.zeros(3)}, opt)
+    new = TrainState.create({"w": jnp.full((3,), 7.0)}, opt)
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(1, old, epoch=1)
+    with pytest.raises(RuntimeError, match="already exists"):
+        ckpt.save(1, new, epoch=1)
+    ckpt.purge_steps()
+    assert ckpt.latest_step() is None
+    ckpt.save(1, new, epoch=1)
+    restored, meta, _ = ckpt.restore(new)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["w"]), np.full((3,), 7.0)
+    )
+    assert meta["epoch"] == 1
+    ckpt.close()
+
+
+def test_make_train_step_pallas_falls_back_off_tpu():
+    """make_train_step(use_pallas=True) on CPU with active dropout must fall
+    back to the jnp head itself (the guard used to live only at the runners
+    call site, so direct API use crashed in the fused kernel's hardware-PRNG
+    dropout path — round-4 review finding)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU-only fallback behavior")
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
+    from montecarlo_gated_mil_tpu.train.state import make_train_step
+
+    model = MultiHeadGatedAttentionMIL(
+        backbone="r18", feature_dropout=0.25, attention_dropout=0.25
+    )
+    key = jax.random.key(0)
+    params = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 32, 32, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )["params"]
+    opt = optax.sgd(1e-3)
+    step = make_train_step(model, cross_entropy, opt, 1, use_pallas=True)
+    bag = Bag(
+        patches=jnp.ones((8, 32, 32, 3), jnp.float32),
+        mask=jnp.arange(8) < 5,
+        label=jnp.asarray(1, jnp.int32),
+        tile_indices=jnp.arange(8, dtype=jnp.int32),
+    )
+    state = TrainState.create(params, opt)
+    state, stats = step(state, bag, jax.random.key(1), jnp.asarray(True))
+    assert np.isfinite(float(stats["loss"]))

@@ -18,9 +18,7 @@ Usage: python tools/profile_train.py
 
 from __future__ import annotations
 
-import functools
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -32,29 +30,20 @@ from montecarlo_gated_mil_tpu.core.bag import Bag  # noqa: E402
 from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL  # noqa: E402
 from montecarlo_gated_mil_tpu.train import TrainState, make_train_step  # noqa: E402
 from montecarlo_gated_mil_tpu.train.criteria import cross_entropy  # noqa: E402
+from montecarlo_gated_mil_tpu.utils.profiling import (  # noqa: E402
+    slope_of_chain,
+    train_step_chain,
+)
 
 N = 256
 KS = (2, 5, 10)
 
 
 def _slope(build_chain) -> float:
-    """Median pairwise slope over chain lengths KS; build_chain(k) returns a
-    zero-arg callable whose result forces completion via float()."""
-    totals = {}
-    for k in KS:
-        g = build_chain(k)
-        g()  # compile + warm
-        best = float("inf")
-        for _ in range(4):
-            t0 = time.perf_counter()
-            g()
-            best = min(best, time.perf_counter() - t0)
-        totals[k] = best
-    a, b, c = KS
-    slopes = sorted(
-        (totals[y] - totals[x]) / (y - x) for x, y in ((a, b), (b, c), (a, c))
-    )
-    return slopes[1]
+    """Shared methodology with bench.py's train_step_ms (one definition in
+    utils/profiling.py, so the audit and the recorded series cannot
+    diverge)."""
+    return slope_of_chain(build_chain, ks=KS)
 
 
 def _consume(tree):
@@ -91,26 +80,9 @@ def main():
             use_pallas=use_pallas,
         )
         state = TrainState.create(params, opt)
-
-        def build(k):
-            @jax.jit
-            def f(st, p):
-                def body(carry, i):
-                    st = carry
-                    b = Bag(
-                        patches=p + st.step.astype(jnp.bfloat16) * 0,
-                        mask=mask, label=bag.label,
-                        tile_indices=bag.tile_indices,
-                    )
-                    st, m = step(st, b, jax.random.fold_in(key, i), jnp.asarray(True))
-                    return st, m["loss"]
-
-                st, losses = jax.lax.scan(body, st, jnp.arange(k))
-                return jnp.sum(losses)
-
-            return lambda: float(f(state, patches))
-
-        return build
+        return train_step_chain(
+            step, state, patches, mask, bag.label, bag.tile_indices, key
+        )
 
     results["full step (jnp head)"] = _slope(step_chain(False))
     results["full step (fused Pallas head)"] = _slope(step_chain(True))
