@@ -3,12 +3,16 @@
 The image has no pydicom; this native reader supplies the DICOM capability
 the reference gets from pydicom (``/root/reference/dataset.py:93-112,
 162-180``): uncompressed Explicit/Implicit VR Little Endian pixel data plus
-RLE Lossless (1.2.840.10008.1.2.5 — PackBits byte planes, PS3.5 Annex G),
-plus the PatientID / PatientAge / ImageLaterality / BitsStored fields,
-normalized by ``2^BitsStored - 1`` exactly as the reference.  Other
-compressed transfer syntaxes (the JPEG family) raise with the offending
-TransferSyntaxUID named, so the gap vs pydicom's decoder coverage is
-diagnosable rather than silent.
+the two compressed transfer syntaxes clinical mammography archives emit —
+RLE Lossless (1.2.840.10008.1.2.5 — PackBits byte planes, PS3.5 Annex G)
+and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70 — ISO 10918-1
+SOF3 Huffman predictive coding, any predictor 1-7, point transform,
+restart intervals, grayscale) — plus the PatientID / PatientAge /
+ImageLaterality / BitsStored fields, normalized by ``2^BitsStored - 1``
+exactly as the reference.  Remaining compressed syntaxes (lossy JPEG,
+JPEG-LS, JPEG 2000, deflated) raise with the offending TransferSyntaxUID
+named, so the gap vs pydicom's decoder coverage is diagnosable rather than
+silent.
 
 The shared library builds lazily with g++ on first use and is cached next to
 the source.  ``read_dicom_native`` mirrors ``data.dicom.read_dicom``'s return

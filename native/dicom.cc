@@ -4,10 +4,12 @@
 // 93-112,162-180) with a small C++ parser exposed over a C ABI (ctypes).
 // Scope: DICOM Part 10 files with uncompressed ("native") pixel data in
 // Explicit or Implicit VR Little Endian — the format mammography exports in
-// this pipeline use — plus RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
-// G), a transfer syntax common in clinical archives.  Other compressed
-// syntaxes (JPEG family) fail with an error NAMING the TransferSyntaxUID so
-// the gap is diagnosable (pydicom would decode those,
+// this pipeline use — plus the two compressed transfer syntaxes clinical
+// archives actually emit: RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
+// G) and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70, ISO
+// 10918-1 SOF3, grayscale).  Remaining syntaxes (lossy JPEG, JPEG-LS,
+// JPEG 2000, deflated, big-endian) fail with an error NAMING the
+// TransferSyntaxUID so the gap is diagnosable (pydicom would decode those,
 // /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
 // the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
 // PatientID, PatientAge ('dddY'), ImageLaterality, PixelData.
@@ -206,6 +208,310 @@ bool rle_decode_frame(const uint8_t* frame, size_t frame_len, uint8_t* out,
   return true;
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless (ISO/IEC 10918-1 process 14; DICOM transfer syntaxes
+// 1.2.840.10008.1.2.4.57 and .70 — PS3.5 A.4.1).  Scope: single-component
+// (grayscale) SOF3 scans, any predictor 1-7, any point transform, 2-16 bit
+// precision, optional restart intervals — i.e. what mammography archives
+// emit (SV1 = predictor 1, Pt 0).  The reference reads these through
+// pydicom's decoders (/root/reference/dataset.py:93-112).
+
+struct HuffTable {
+  int32_t maxcode[17];  // largest code of each length, -1 if none
+  int32_t mincode[17];
+  int32_t valptr[17];
+  uint8_t vals[256];
+  bool present = false;
+};
+
+// Canonical table per ISO 10918-1 C.2 (DECODE procedure tables F.15/F.16).
+bool build_huff(const uint8_t counts[16], const uint8_t* values,
+                size_t nvals, HuffTable* t) {
+  if (nvals > 256) return false;
+  memcpy(t->vals, values, nvals);
+  int32_t code = 0, k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    if (counts[l - 1] == 0) {
+      t->maxcode[l] = -1;
+      t->mincode[l] = 0;
+      t->valptr[l] = 0;
+    } else {
+      t->valptr[l] = k;
+      t->mincode[l] = code;
+      code += counts[l - 1];
+      k += counts[l - 1];
+      t->maxcode[l] = code - 1;
+    }
+    code <<= 1;
+    if (code > (2 << l)) return false;  // oversubscribed
+  }
+  t->present = true;
+  return true;
+}
+
+// Entropy-coded-segment bit reader: 0xFF00 byte stuffing, stops AT markers
+// (0xFF followed by nonzero) so the caller can handle RST/EOI.
+struct BitReader {
+  const uint8_t* p;
+  size_t n;
+  size_t off = 0;
+  uint32_t acc = 0;
+  int nbits = 0;
+
+  int bit() {
+    if (nbits == 0) {
+      if (off >= n) return -1;
+      uint8_t b = p[off];
+      if (b == 0xFF) {
+        if (off + 1 < n && p[off + 1] == 0x00) {
+          off += 2;  // stuffed 0xFF data byte
+        } else {
+          return -1;  // a real marker: leave `off` pointing at 0xFF
+        }
+      } else {
+        ++off;
+      }
+      acc = b;
+      nbits = 8;
+    }
+    --nbits;
+    return (acc >> nbits) & 1;
+  }
+
+  void byte_align() { nbits = 0; }
+};
+
+int decode_symbol(BitReader* br, const HuffTable& t) {
+  int32_t code = 0;
+  for (int l = 1; l <= 16; ++l) {
+    int b = br->bit();
+    if (b < 0) return -1;
+    code = (code << 1) | b;
+    if (t.maxcode[l] >= 0 && code <= t.maxcode[l]) {
+      return t.vals[t.valptr[l] + (code - t.mincode[l])];
+    }
+  }
+  return -1;
+}
+
+// SSSS-category difference: read ssss magnitude bits and sign-extend
+// (ISO 10918-1 F.2.2.1 EXTEND); ssss 16 is +32768 with no extra bits.
+bool read_diff(BitReader* br, int ssss, int32_t* diff) {
+  if (ssss == 0) {
+    *diff = 0;
+    return true;
+  }
+  if (ssss == 16) {
+    *diff = 32768;
+    return true;
+  }
+  int32_t v = 0;
+  for (int i = 0; i < ssss; ++i) {
+    int b = br->bit();
+    if (b < 0) return false;
+    v = (v << 1) | b;
+  }
+  if (v < (1 << (ssss - 1))) v -= (1 << ssss) - 1;
+  *diff = v;
+  return true;
+}
+
+bool jpeg_lossless_decode(const uint8_t* data, size_t len, uint8_t* out,
+                          uint32_t rows, uint32_t cols, uint32_t bps,
+                          char* err, size_t err_cap) {
+  // Scan to SOI (fragments may carry leading padding).
+  size_t off = 0;
+  while (off + 1 < len && !(data[off] == 0xFF && data[off + 1] == 0xD8)) ++off;
+  if (off + 1 >= len) {
+    snprintf(err, err_cap, "JPEG stream has no SOI marker");
+    return false;
+  }
+  off += 2;
+
+  HuffTable tables[4];
+  int precision = 0, pt = 0, predictor = 0, table_id = 0;
+  uint32_t ri = 0;  // restart interval (samples; 1 MCU = 1 sample here)
+  bool have_sof = false;
+
+  while (off + 1 < len) {
+    if (data[off] != 0xFF) {
+      snprintf(err, err_cap, "JPEG marker expected at offset %zu", off);
+      return false;
+    }
+    while (off < len && data[off] == 0xFF) ++off;  // fill bytes
+    if (off >= len) break;
+    uint8_t m = data[off++];
+    if (m == 0xD9) break;  // EOI before SOS: fall through to error below
+    if (off + 1 >= len) break;
+    size_t seg_len = (static_cast<size_t>(data[off]) << 8) | data[off + 1];
+    if (seg_len < 2 || off + seg_len > len) {
+      snprintf(err, err_cap, "JPEG segment FF%02X overruns the stream", m);
+      return false;
+    }
+    const uint8_t* seg = data + off + 2;
+    size_t body = seg_len - 2;
+    off += seg_len;
+
+    if (m == 0xC4) {  // DHT: one or more tables
+      size_t i = 0;
+      while (i + 17 <= body) {
+        uint8_t tc = seg[i] >> 4, th = seg[i] & 0x0F;
+        const uint8_t* counts = seg + i + 1;
+        size_t nv = 0;
+        for (int l = 0; l < 16; ++l) nv += counts[l];
+        if (i + 17 + nv > body || th > 3) {
+          snprintf(err, err_cap, "JPEG DHT segment malformed");
+          return false;
+        }
+        if (tc == 0 && !build_huff(counts, seg + i + 17, nv, &tables[th])) {
+          snprintf(err, err_cap, "JPEG Huffman table %u oversubscribed", th);
+          return false;
+        }
+        i += 17 + nv;
+      }
+    } else if (m == 0xC3) {  // SOF3: lossless sequential Huffman
+      if (body < 8) {
+        snprintf(err, err_cap, "JPEG SOF3 segment too short");
+        return false;
+      }
+      precision = seg[0];
+      uint32_t y = (seg[1] << 8) | seg[2];
+      uint32_t x = (seg[3] << 8) | seg[4];
+      uint8_t nf = seg[5];
+      if (nf != 1) {
+        snprintf(err, err_cap,
+                 "JPEG Lossless with %u components unsupported (grayscale "
+                 "mammography expects 1)",
+                 nf);
+        return false;
+      }
+      if (y != rows || x != cols) {
+        snprintf(err, err_cap,
+                 "JPEG frame %ux%u disagrees with Rows/Columns %ux%u", y, x,
+                 rows, cols);
+        return false;
+      }
+      if (body >= 9 && seg[7] != 0x11) {
+        snprintf(err, err_cap, "JPEG subsampling %02X unsupported", seg[7]);
+        return false;
+      }
+      if (precision < 2 || precision > 16 ||
+          (precision > 8 && bps < 2)) {
+        snprintf(err, err_cap,
+                 "JPEG precision %d incompatible with BitsAllocated %u",
+                 precision, bps * 8);
+        return false;
+      }
+      have_sof = true;
+    } else if ((m >= 0xC0 && m <= 0xCF) && m != 0xC4 && m != 0xC8 &&
+               m != 0xCC) {
+      snprintf(err, err_cap,
+               "JPEG SOF%d is not lossless process 14 (only SOF3 streams "
+               "are supported)",
+               m - 0xC0);
+      return false;
+    } else if (m == 0xDD) {  // DRI
+      if (body < 2) {
+        snprintf(err, err_cap, "JPEG DRI segment too short");
+        return false;
+      }
+      ri = (seg[0] << 8) | seg[1];
+    } else if (m == 0xDA) {  // SOS -> entropy-coded data follows
+      if (!have_sof) {
+        snprintf(err, err_cap, "JPEG SOS before SOF3");
+        return false;
+      }
+      if (body < 6 || seg[0] != 1) {
+        snprintf(err, err_cap, "JPEG scan must hold exactly 1 component");
+        return false;
+      }
+      table_id = seg[2] >> 4;
+      predictor = seg[3];       // Ss = predictor selector
+      pt = seg[5] & 0x0F;       // Al = point transform
+      if (predictor < 1 || predictor > 7) {
+        snprintf(err, err_cap, "JPEG predictor %d out of range", predictor);
+        return false;
+      }
+      if (!tables[table_id].present) {
+        snprintf(err, err_cap, "JPEG scan references missing Huffman table %d",
+                 table_id);
+        return false;
+      }
+      if (pt >= precision) {
+        snprintf(err, err_cap, "JPEG point transform %d >= precision %d", pt,
+                 precision);
+        return false;
+      }
+
+      BitReader br{data + off, len - off};
+      const HuffTable& t = tables[table_id];
+      std::vector<int32_t> prev(cols, 0), cur(cols, 0);
+      const int32_t default_pred = 1 << (precision - pt - 1);
+      uint32_t since_restart = 0;
+      bool fresh = true;  // next sample predicts default (scan/restart start)
+      for (uint32_t yy = 0; yy < rows; ++yy) {
+        for (uint32_t xx = 0; xx < cols; ++xx) {
+          if (ri && since_restart == ri) {
+            // Byte-aligned RSTn between restart intervals; prediction
+            // resets as at the start of the scan (ISO H.1.2.2).
+            br.byte_align();
+            size_t mo = br.off;
+            if (mo + 1 >= br.n || br.p[mo] != 0xFF ||
+                br.p[mo + 1] < 0xD0 || br.p[mo + 1] > 0xD7) {
+              snprintf(err, err_cap, "JPEG restart marker missing");
+              return false;
+            }
+            br.off = mo + 2;
+            since_restart = 0;
+            fresh = true;
+          }
+          int ssss = decode_symbol(&br, t);
+          int32_t diff;
+          if (ssss < 0 || !read_diff(&br, ssss, &diff)) {
+            snprintf(err, err_cap,
+                     "JPEG entropy data truncated at sample (%u,%u)", yy, xx);
+            return false;
+          }
+          int32_t pred;
+          if (fresh) {
+            pred = default_pred;
+            fresh = false;
+          } else if (yy == 0) {
+            pred = cur[xx - 1];  // first line: predictor 1 (H.1.2.2)
+          } else if (xx == 0) {
+            pred = prev[0];  // first column: predictor 2
+          } else {
+            int32_t ra = cur[xx - 1], rb = prev[xx], rc = prev[xx - 1];
+            switch (predictor) {
+              case 1: pred = ra; break;
+              case 2: pred = rb; break;
+              case 3: pred = rc; break;
+              case 4: pred = ra + rb - rc; break;
+              case 5: pred = ra + ((rb - rc) >> 1); break;
+              case 6: pred = rb + ((ra - rc) >> 1); break;
+              default: pred = (ra + rb) >> 1; break;  // 7
+            }
+          }
+          int32_t val = (pred + diff) & 0xFFFF;  // modulo 2^16 (F.2.2.1)
+          cur[xx] = val;
+          uint32_t sample = static_cast<uint32_t>(val) << pt;
+          size_t o = (static_cast<size_t>(yy) * cols + xx) * bps;
+          out[o] = static_cast<uint8_t>(sample & 0xFF);
+          if (bps == 2) out[o + 1] = static_cast<uint8_t>((sample >> 8) & 0xFF);
+          ++since_restart;
+        }
+        std::swap(prev, cur);
+      }
+      return true;
+    } else {
+      // APPn / COM / DQT / anything else with a length: skipped above.
+    }
+  }
+  snprintf(err, err_cap, have_sof ? "JPEG stream ended before SOS"
+                                  : "JPEG stream holds no SOF3 frame");
+  return false;
+}
+
 }  // namespace
 
 extern "C" {
@@ -284,14 +590,21 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
     if (group == kGroupPixel && elem == kElemPixelData) {
       if (len == 0xFFFFFFFFu) {
         // Encapsulated pixel data: items (FFFE,E000) — the Basic Offset
-        // Table first, then one fragment per frame (PS3.5 A.4; RLE requires
-        // exactly one fragment per frame, and mammography exports are
-        // single-frame, so the first fragment is the image).
-        if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.5") != 0) {
+        // Table first, then frame fragments (PS3.5 A.4).  Mammography
+        // exports are single-frame: for RLE the frame is exactly the first
+        // fragment (Annex G requires one fragment per frame); a JPEG
+        // stream may legally be SPLIT across fragments, so those
+        // concatenate.
+        const bool is_rle =
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.5") == 0;
+        const bool is_jpegll =
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.57") == 0 ||
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.70") == 0;
+        if (!is_rle && !is_jpegll) {
           snprintf(result->error, sizeof(result->error),
                    "encapsulated pixel data in unsupported transfer syntax "
-                   "%s (%s); only RLE Lossless (1.2.840.10008.1.2.5) and "
-                   "uncompressed little-endian are supported",
+                   "%s (%s); supported: uncompressed little-endian, RLE "
+                   "Lossless, JPEG Lossless process 14",
                    result->transfer_syntax[0] ? result->transfer_syntax
                                               : "(missing 0002,0010)",
                    syntax_name(result->transfer_syntax));
@@ -299,17 +612,18 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
         }
         if (result->rows == 0 || result->cols == 0) {
           snprintf(result->error, sizeof(result->error),
-                   "RLE pixel data precedes Rows/Columns");
+                   "encapsulated pixel data precedes Rows/Columns");
           return 4;
         }
         uint32_t bps = (result->bits_allocated ? result->bits_allocated : 16) / 8;
         if (bps < 1 || bps > 2) {
           snprintf(result->error, sizeof(result->error),
-                   "RLE with BitsAllocated %u unsupported",
+                   "compressed pixel data with BitsAllocated %u unsupported",
                    result->bits_allocated);
           return 4;
         }
         size_t npix = static_cast<size_t>(result->rows) * result->cols;
+        std::vector<uint8_t> stream;  // fragment bytes (JPEG: concatenated)
         size_t item_index = 0;
         while (c.have(8)) {
           uint16_t g2 = c.u16();
@@ -317,34 +631,41 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
           uint32_t l2 = c.u32();
           if (g2 == 0xFFFE && e2 == 0xE0DD) break;
           if (g2 != 0xFFFE || e2 != 0xE000 || !c.have(l2)) {
-            if (result->pixels) { free(result->pixels); result->pixels = nullptr; }
             snprintf(result->error, sizeof(result->error),
                      "malformed encapsulated pixel-data item");
             return 4;
           }
-          if (item_index++ > 0 && !result->pixels) {  // first fragment
-            result->pixels = static_cast<uint8_t*>(malloc(npix * bps));
-            if (!result->pixels) {
-              snprintf(result->error, sizeof(result->error), "alloc failed");
-              return 6;
-            }
-            char err[128] = {0};
-            if (!rle_decode_frame(c.p + c.off, l2, result->pixels, npix, bps,
-                                  err, sizeof(err))) {
-              free(result->pixels);
-              result->pixels = nullptr;
-              snprintf(result->error, sizeof(result->error), "%s", err);
-              return 4;
-            }
-            result->pixel_bytes = npix * bps;
+          if (item_index++ > 0 && (is_jpegll || stream.empty())) {
+            stream.insert(stream.end(), c.p + c.off, c.p + c.off + l2);
           }
           c.off += l2;
         }
-        if (!result->pixels) {
+        if (stream.empty()) {
           snprintf(result->error, sizeof(result->error),
                    "encapsulated pixel data held no fragment");
           return 4;
         }
+        result->pixels = static_cast<uint8_t*>(malloc(npix * bps));
+        if (!result->pixels) {
+          snprintf(result->error, sizeof(result->error), "alloc failed");
+          return 6;
+        }
+        char err[192] = {0};
+        bool ok = is_rle
+                      ? rle_decode_frame(stream.data(), stream.size(),
+                                         result->pixels, npix, bps, err,
+                                         sizeof(err))
+                      : jpeg_lossless_decode(stream.data(), stream.size(),
+                                             result->pixels, result->rows,
+                                             result->cols, bps, err,
+                                             sizeof(err));
+        if (!ok) {
+          free(result->pixels);
+          result->pixels = nullptr;
+          snprintf(result->error, sizeof(result->error), "%s", err);
+          return 4;
+        }
+        result->pixel_bytes = npix * bps;
         continue;
       }
       if (!c.have(len)) {
