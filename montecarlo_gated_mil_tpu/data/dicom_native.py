@@ -7,12 +7,13 @@ the two compressed transfer syntaxes clinical mammography archives emit —
 RLE Lossless (1.2.840.10008.1.2.5 — PackBits byte planes, PS3.5 Annex G)
 and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70 — ISO 10918-1
 SOF3 Huffman predictive coding, any predictor 1-7, point transform,
-restart intervals, grayscale) — plus the PatientID / PatientAge /
-ImageLaterality / BitsStored fields, normalized by ``2^BitsStored - 1``
-exactly as the reference.  Remaining compressed syntaxes (lossy JPEG,
-JPEG-LS, JPEG 2000, deflated) raise with the offending TransferSyntaxUID
-named, so the gap vs pydicom's decoder coverage is diagnosable rather than
-silent.
+restart intervals, grayscale) — plus Deflated Explicit VR Little Endian
+(1.2.840.10008.1.2.1.99, raw-deflate dataset via zlib) and the PatientID /
+PatientAge / ImageLaterality / BitsStored fields, normalized by
+``2^BitsStored - 1`` exactly as the reference.  Remaining compressed
+syntaxes (lossy JPEG, JPEG-LS, JPEG 2000) raise with the offending
+TransferSyntaxUID named, so the gap vs pydicom's decoder coverage is
+diagnosable rather than silent.
 
 The shared library builds lazily with g++ on first use and is cached next to
 the source.  ``read_dicom_native`` mirrors ``data.dicom.read_dicom``'s return
@@ -55,7 +56,9 @@ class _DicomResult(ctypes.Structure):
 
 def _build_library(src: str, out: str) -> None:
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-o", out, src],
+        # -lz: raw-deflate inflate for the Deflated Explicit VR Little
+        # Endian transfer syntax (1.2.840.10008.1.2.1.99, PS3.5 A.5).
+        ["g++", "-O2", "-shared", "-fPIC", "-o", out, src, "-lz"],
         check=True,
         capture_output=True,
         text=True,

@@ -4,17 +4,18 @@
 // 93-112,162-180) with a small C++ parser exposed over a C ABI (ctypes).
 // Scope: DICOM Part 10 files with uncompressed ("native") pixel data in
 // Explicit or Implicit VR Little Endian — the format mammography exports in
-// this pipeline use — plus the two compressed transfer syntaxes clinical
+// this pipeline use — plus the compressed transfer syntaxes clinical
 // archives actually emit: RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
-// G) and JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70, ISO
-// 10918-1 SOF3, grayscale).  Remaining syntaxes (lossy JPEG, JPEG-LS,
-// JPEG 2000, deflated, big-endian) fail with an error NAMING the
-// TransferSyntaxUID so the gap is diagnosable (pydicom would decode those,
+// G), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70, ISO 10918-1
+// SOF3, grayscale), and Deflated Explicit VR LE (1.2.840.10008.1.2.1.99,
+// PS3.5 A.5, via zlib).  Remaining syntaxes (lossy JPEG, JPEG-LS,
+// JPEG 2000, big-endian) fail with an error NAMING the TransferSyntaxUID
+// so the gap is diagnosable (pydicom would decode those,
 // /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
 // the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
 // PatientID, PatientAge ('dddY'), ImageLaterality, PixelData.
 //
-// Build:  g++ -O2 -shared -fPIC -o libmcgmil_dicom.so dicom.cc
+// Build:  g++ -O2 -shared -fPIC -o libmcgmil_dicom.so dicom.cc -lz
 // The Python wrapper (montecarlo_gated_mil_tpu/data/dicom_native.py) builds
 // this lazily if the shared object is missing.
 
@@ -23,6 +24,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -205,6 +208,42 @@ bool rle_decode_frame(const uint8_t* frame, size_t frame_len, uint8_t* out,
       return false;
     }
   }
+  return true;
+}
+
+// Raw-deflate (no zlib header) inflate for the Deflated Explicit VR Little
+// Endian transfer syntax (1.2.840.10008.1.2.1.99, PS3.5 A.5): everything
+// after the file meta group is one deflate stream holding the main dataset.
+bool inflate_raw(const uint8_t* src, size_t n, std::vector<uint8_t>* out,
+                 char* err, size_t err_cap) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -15) != Z_OK) {
+    snprintf(err, err_cap, "zlib inflateInit failed");
+    return false;
+  }
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  out->resize(n * 4 + 4096);
+  for (;;) {
+    zs.next_out = out->data() + zs.total_out;
+    zs.avail_out = static_cast<uInt>(out->size() - zs.total_out);
+    int ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret == Z_STREAM_END) break;
+    if ((ret == Z_OK || ret == Z_BUF_ERROR) && zs.avail_out == 0) {
+      out->resize(out->size() * 2);
+      continue;
+    }
+    inflateEnd(&zs);
+    if (ret == Z_OK) {
+      snprintf(err, err_cap, "deflate stream truncated");
+    } else {
+      snprintf(err, err_cap, "deflate stream corrupt (zlib error %d)", ret);
+    }
+    return false;
+  }
+  out->resize(zs.total_out);
+  inflateEnd(&zs);
   return true;
 }
 
@@ -541,6 +580,7 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
   }
   fclose(f);
 
+  std::vector<uint8_t> inflated;  // deflated-syntax backing store
   Cursor c{buf.data(), buf.size()};
   // 128-byte preamble + "DICM"; tolerate raw streams without it.
   if (memcmp(buf.data() + 128, "DICM", 4) == 0) {
@@ -554,10 +594,29 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
     uint16_t group = c.u16();
     uint16_t elem = c.u16();
     if (!vr_decided && group != 0x0002) {
-      // The meta group is over; syntaxes that re-encode the whole main
-      // dataset can't be parsed element-by-element — say which one this is.
-      if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.1.99") == 0 ||
-          strcmp(result->transfer_syntax, "1.2.840.10008.1.2.2") == 0) {
+      // The meta group is over.
+      if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.1.99") == 0) {
+        // Deflated Explicit VR LE (PS3.5 A.5): everything from here on —
+        // including the 4 tag bytes just consumed — is one raw-deflate
+        // stream holding the main dataset.  Inflate, then parse that.
+        char zerr[96] = {0};
+        if (!inflate_raw(c.p + (c.off - 4), c.n - (c.off - 4), &inflated,
+                         zerr, sizeof(zerr))) {
+          snprintf(result->error, sizeof(result->error),
+                   "deflated dataset (1.2.840.10008.1.2.1.99): %s", zerr);
+          return 4;
+        }
+        c = Cursor{inflated.data(), inflated.size()};
+        if (!c.have(8)) {
+          snprintf(result->error, sizeof(result->error),
+                   "deflated dataset inflated to fewer than 8 bytes");
+          return 4;
+        }
+        group = c.u16();
+        elem = c.u16();
+      } else if (strcmp(result->transfer_syntax, "1.2.840.10008.1.2.2") == 0) {
+        // Big-endian re-encodes every element; say so instead of failing
+        // on garbage values.
         snprintf(result->error, sizeof(result->error),
                  "unsupported transfer syntax %s (%s)",
                  result->transfer_syntax, syntax_name(result->transfer_syntax));

@@ -254,15 +254,60 @@ def test_unsupported_syntax_error_names_the_uid(tmp_path):
     assert "JPEG 2000" in str(ei.value)
 
 
-def test_deflated_syntax_error_names_the_uid(tmp_path):
-    """Deflated streams re-encode the whole dataset; the parser refuses with
-    the UID named instead of failing on garbage bytes."""
+def _write_deflated(path, rows, cols, bits_stored, px: np.ndarray):
+    """Part 10 file in Deflated Explicit VR LE (1.2.840.10008.1.2.1.99,
+    PS3.5 A.5): the main dataset is one RAW deflate stream (no zlib
+    header) after the uncompressed meta group."""
+    import zlib
+
+    body = _el_explicit(0x0010, 0x0020, b"LO", b"PATDEF")
+    body += _el_explicit(0x0020, 0x0062, b"CS", b"L")
+    body += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    body += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    body += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    body += _el_explicit(0x0028, 0x0101, b"US", struct.pack("<H", bits_stored))
+    body += _el_explicit(0x7FE0, 0x0010, b"OW", px.astype("<u2").tobytes())
+    z = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate
     out = b"\x00" * 128 + b"DICM"
     out += _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1.99")
-    out += b"\x78\x9c" + b"\x00" * 64  # zlib-ish garbage
-    p = tmp_path / "deflate.dcm"
+    out += z.compress(body) + z.flush()
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_deflated_dataset_roundtrip(tmp_path):
+    """Deflated Explicit VR LE inflates and parses like a plain dataset."""
+    rng = np.random.default_rng(11)
+    rows, cols, bits = 10, 14, 12
+    px = rng.integers(0, 2**bits, size=(rows, cols), dtype=np.uint16)
+    p = tmp_path / "deflated.dcm"
+    _write_deflated(p, rows, cols, bits, px)
+    img, meta = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / (2**bits - 1), atol=1e-7)
+    assert meta.patient_id == "PATDEF" and meta.laterality == "L"
+
+
+def test_deflated_garbage_errors_loudly(tmp_path):
+    """A corrupt deflate stream errors naming the syntax, not on garbage
+    element values."""
+    out = b"\x00" * 128 + b"DICM"
+    out += _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.1.99")
+    out += b"\xfe\xed" + b"\x00" * 64  # not a deflate stream
+    p = tmp_path / "deflate_bad.dcm"
     p.write_bytes(out)
     with pytest.raises(ValueError, match="1.2.840.10008.1.2.1.99"):
+        read_dicom_native(p)
+
+
+def test_big_endian_error_names_the_uid(tmp_path):
+    """Explicit VR Big Endian re-encodes every element; the parser refuses
+    with the UID named instead of failing on byte-swapped values."""
+    out = b"\x00" * 128 + b"DICM"
+    out += _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.2")
+    out += _el_explicit(0x0028, 0x0010, b"US", struct.pack(">H", 4))
+    p = tmp_path / "bigendian.dcm"
+    p.write_bytes(out)
+    with pytest.raises(ValueError, match="1.2.840.10008.1.2.2"):
         read_dicom_native(p)
 
 
