@@ -260,6 +260,11 @@ struct HuffTable {
   int32_t mincode[17];
   int32_t valptr[17];
   uint8_t vals[256];
+  // 8-bit-prefix fast path: symbol + code length for every code of <= 8
+  // bits (lut_len 0 -> fall back to the canonical walk).  SSSS categories
+  // are geometrically distributed, so nearly every symbol hits the LUT.
+  uint8_t lut_sym[256];
+  uint8_t lut_len[256];
   bool present = false;
 };
 
@@ -268,6 +273,7 @@ bool build_huff(const uint8_t counts[16], const uint8_t* values,
                 size_t nvals, HuffTable* t) {
   if (nvals > 256) return false;
   memcpy(t->vals, values, nvals);
+  memset(t->lut_len, 0, sizeof(t->lut_len));
   int32_t code = 0, k = 0;
   for (int l = 1; l <= 16; ++l) {
     if (counts[l - 1] == 0) {
@@ -277,6 +283,15 @@ bool build_huff(const uint8_t counts[16], const uint8_t* values,
     } else {
       t->valptr[l] = k;
       t->mincode[l] = code;
+      if (l <= 8) {
+        for (int i = 0; i < counts[l - 1]; ++i) {
+          int32_t prefix = (code + i) << (8 - l);
+          for (int fill = 0; fill < (1 << (8 - l)); ++fill) {
+            t->lut_sym[prefix + fill] = values[k + i];
+            t->lut_len[prefix + fill] = static_cast<uint8_t>(l);
+          }
+        }
+      }
       code += counts[l - 1];
       k += counts[l - 1];
       t->maxcode[l] = code - 1;
@@ -288,44 +303,93 @@ bool build_huff(const uint8_t counts[16], const uint8_t* values,
   return true;
 }
 
-// Entropy-coded-segment bit reader: 0xFF00 byte stuffing, stops AT markers
-// (0xFF followed by nonzero) so the caller can handle RST/EOI.
+// Entropy-coded-segment bit reader: a 64-bit accumulator refilled bytewise
+// with 0xFF00 un-stuffing.  It never consumes a real marker (0xFF followed
+// by nonzero); past one — or past the stream end — it supplies ZERO pad
+// bits and counts them, so the caller can tell a clean finish (pad bits
+// buffered but unread) from a truncated stream (pad bits consumed).
 struct BitReader {
   const uint8_t* p;
   size_t n;
   size_t off = 0;
-  uint32_t acc = 0;
+  uint64_t acc = 0;
   int nbits = 0;
+  int pad_bits = 0;  // zero bits appended past the real stream
 
-  int bit() {
-    if (nbits == 0) {
-      if (off >= n) return -1;
-      uint8_t b = p[off];
-      if (b == 0xFF) {
-        if (off + 1 < n && p[off + 1] == 0x00) {
-          off += 2;  // stuffed 0xFF data byte
-        } else {
-          return -1;  // a real marker: leave `off` pointing at 0xFF
+  inline void fill(int want) {
+    while (nbits < want) {
+      // Bulk path: 4 bytes at once when none is 0xFF (no stuffing or
+      // marker possible) — the overwhelmingly common case.
+      if (nbits <= 32 && off + 4 <= n) {
+        uint32_t w;
+        memcpy(&w, p + off, 4);
+        uint32_t v = ~w;  // a byte of w is 0xFF iff the byte of v is 0
+        if (((v - 0x01010101u) & ~v & 0x80808080u) == 0) {
+          acc = (acc << 32) | static_cast<uint64_t>(__builtin_bswap32(w));
+          nbits += 32;
+          off += 4;
+          continue;
         }
-      } else {
-        ++off;
       }
-      acc = b;
-      nbits = 8;
+      if (off < n) {
+        uint8_t b = p[off];
+        if (b == 0xFF) {
+          if (off + 1 < n && p[off + 1] == 0x00) {
+            off += 2;  // stuffed data byte
+          } else {
+            acc <<= 8;  // a real marker: pad instead of consuming
+            nbits += 8;
+            pad_bits += 8;
+            continue;
+          }
+        } else {
+          ++off;
+        }
+        acc = (acc << 8) | b;
+        nbits += 8;
+      } else {
+        acc <<= 8;
+        nbits += 8;
+        pad_bits += 8;
+      }
     }
-    --nbits;
-    return (acc >> nbits) & 1;
   }
 
-  void byte_align() { nbits = 0; }
+  inline uint32_t peek8() {
+    fill(8);
+    return static_cast<uint32_t>((acc >> (nbits - 8)) & 0xFF);
+  }
+
+  inline uint32_t get(int k) {
+    fill(k);
+    nbits -= k;
+    return static_cast<uint32_t>((acc >> nbits) & ((1u << k) - 1));
+  }
+
+  // True once any decoded value depended on pad bits (truncated stream).
+  inline bool overran() const { return nbits < pad_bits; }
+
+  // Restart handling: drop the buffered tail of the interval (the final
+  // entropy byte's 1-padding) and read bytes directly at `off` again.
+  inline void reset_to_stream() {
+    acc = 0;
+    nbits = 0;
+    pad_bits = 0;
+  }
 };
 
-int decode_symbol(BitReader* br, const HuffTable& t) {
+inline int decode_symbol(BitReader* br, const HuffTable& t) {
+  br->fill(24);  // symbol (<= 8 via LUT) + magnitude bits (<= 16) at once
+  uint32_t prefix = br->peek8();
+  int len = t.lut_len[prefix];
+  if (len) {
+    br->nbits -= len;
+    return t.lut_sym[prefix];
+  }
+  // Canonical walk for the rare > 8-bit codes.
   int32_t code = 0;
   for (int l = 1; l <= 16; ++l) {
-    int b = br->bit();
-    if (b < 0) return -1;
-    code = (code << 1) | b;
+    code = (code << 1) | static_cast<int32_t>(br->get(1));
     if (t.maxcode[l] >= 0 && code <= t.maxcode[l]) {
       return t.vals[t.valptr[l] + (code - t.mincode[l])];
     }
@@ -335,23 +399,82 @@ int decode_symbol(BitReader* br, const HuffTable& t) {
 
 // SSSS-category difference: read ssss magnitude bits and sign-extend
 // (ISO 10918-1 F.2.2.1 EXTEND); ssss 16 is +32768 with no extra bits.
-bool read_diff(BitReader* br, int ssss, int32_t* diff) {
-  if (ssss == 0) {
-    *diff = 0;
-    return true;
-  }
-  if (ssss == 16) {
-    *diff = 32768;
-    return true;
-  }
-  int32_t v = 0;
-  for (int i = 0; i < ssss; ++i) {
-    int b = br->bit();
-    if (b < 0) return false;
-    v = (v << 1) | b;
-  }
+inline int32_t read_diff(BitReader* br, int ssss) {
+  if (ssss == 0) return 0;
+  if (ssss == 16) return 32768;
+  int32_t v = static_cast<int32_t>(br->get(ssss));
   if (v < (1 << (ssss - 1))) v -= (1 << ssss) - 1;
-  *diff = v;
+  return v;
+}
+
+// One SOF3 scan, specialized at compile time over (predictor, bytes per
+// sample) so the per-sample path is branch-free: SV1 mammograms decode a
+// predictor-1 loop where the prediction is the running previous sample.
+template <int PRED, int BPS>
+bool decode_scan(BitReader& br, const HuffTable& t, uint32_t rows,
+                 uint32_t cols, uint8_t* out, int32_t default_pred,
+                 uint32_t ri, int pt, char* err, size_t err_cap) {
+  std::vector<int32_t> prev(cols, 0), cur(cols, 0);
+  uint32_t since_restart = 0;
+  bool fresh = true;  // next sample predicts default (scan/restart start)
+  for (uint32_t yy = 0; yy < rows; ++yy) {
+    uint8_t* row_out = out + static_cast<size_t>(yy) * cols * BPS;
+    for (uint32_t xx = 0; xx < cols; ++xx) {
+      if (ri && since_restart == ri) {
+        // Byte-aligned RSTn between restart intervals; prediction resets
+        // as at the start of the scan (ISO H.1.2.2).
+        if (br.overran()) {
+          snprintf(err, err_cap, "JPEG entropy data truncated");
+          return false;
+        }
+        br.reset_to_stream();  // drop the interval's alignment padding
+        if (br.off + 1 >= br.n || br.p[br.off] != 0xFF ||
+            br.p[br.off + 1] < 0xD0 || br.p[br.off + 1] > 0xD7) {
+          snprintf(err, err_cap, "JPEG restart marker missing");
+          return false;
+        }
+        br.off += 2;
+        since_restart = 0;
+        fresh = true;
+      }
+      int ssss = decode_symbol(&br, t);
+      if (ssss < 0) {
+        snprintf(err, err_cap, "JPEG entropy data corrupt at sample (%u,%u)",
+                 yy, xx);
+        return false;
+      }
+      int32_t diff = read_diff(&br, ssss);
+      int32_t pred;
+      if (fresh) {
+        pred = default_pred;
+        fresh = false;
+      } else if (yy == 0) {
+        pred = cur[xx - 1];  // first line: predictor 1 (H.1.2.2)
+      } else if (xx == 0) {
+        pred = prev[0];  // first column: predictor 2
+      } else {
+        int32_t ra = cur[xx - 1], rb = prev[xx], rc = prev[xx - 1];
+        pred = PRED == 1   ? ra
+               : PRED == 2 ? rb
+               : PRED == 3 ? rc
+               : PRED == 4 ? ra + rb - rc
+               : PRED == 5 ? ra + ((rb - rc) >> 1)
+               : PRED == 6 ? rb + ((ra - rc) >> 1)
+                           : (ra + rb) >> 1;  // 7
+      }
+      int32_t val = (pred + diff) & 0xFFFF;  // modulo 2^16 (F.2.2.1)
+      cur[xx] = val;
+      uint32_t sample = static_cast<uint32_t>(val) << pt;
+      row_out[xx * BPS] = static_cast<uint8_t>(sample & 0xFF);
+      if (BPS == 2) row_out[xx * BPS + 1] = static_cast<uint8_t>(sample >> 8);
+      ++since_restart;
+    }
+    std::swap(prev, cur);
+  }
+  if (br.overran()) {
+    snprintf(err, err_cap, "JPEG entropy data truncated");
+    return false;
+  }
   return true;
 }
 
@@ -483,65 +606,23 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t len, uint8_t* out,
       }
 
       BitReader br{data + off, len - off};
-      const HuffTable& t = tables[table_id];
-      std::vector<int32_t> prev(cols, 0), cur(cols, 0);
       const int32_t default_pred = 1 << (precision - pt - 1);
-      uint32_t since_restart = 0;
-      bool fresh = true;  // next sample predicts default (scan/restart start)
-      for (uint32_t yy = 0; yy < rows; ++yy) {
-        for (uint32_t xx = 0; xx < cols; ++xx) {
-          if (ri && since_restart == ri) {
-            // Byte-aligned RSTn between restart intervals; prediction
-            // resets as at the start of the scan (ISO H.1.2.2).
-            br.byte_align();
-            size_t mo = br.off;
-            if (mo + 1 >= br.n || br.p[mo] != 0xFF ||
-                br.p[mo + 1] < 0xD0 || br.p[mo + 1] > 0xD7) {
-              snprintf(err, err_cap, "JPEG restart marker missing");
-              return false;
-            }
-            br.off = mo + 2;
-            since_restart = 0;
-            fresh = true;
-          }
-          int ssss = decode_symbol(&br, t);
-          int32_t diff;
-          if (ssss < 0 || !read_diff(&br, ssss, &diff)) {
-            snprintf(err, err_cap,
-                     "JPEG entropy data truncated at sample (%u,%u)", yy, xx);
-            return false;
-          }
-          int32_t pred;
-          if (fresh) {
-            pred = default_pred;
-            fresh = false;
-          } else if (yy == 0) {
-            pred = cur[xx - 1];  // first line: predictor 1 (H.1.2.2)
-          } else if (xx == 0) {
-            pred = prev[0];  // first column: predictor 2
-          } else {
-            int32_t ra = cur[xx - 1], rb = prev[xx], rc = prev[xx - 1];
-            switch (predictor) {
-              case 1: pred = ra; break;
-              case 2: pred = rb; break;
-              case 3: pred = rc; break;
-              case 4: pred = ra + rb - rc; break;
-              case 5: pred = ra + ((rb - rc) >> 1); break;
-              case 6: pred = rb + ((ra - rc) >> 1); break;
-              default: pred = (ra + rb) >> 1; break;  // 7
-            }
-          }
-          int32_t val = (pred + diff) & 0xFFFF;  // modulo 2^16 (F.2.2.1)
-          cur[xx] = val;
-          uint32_t sample = static_cast<uint32_t>(val) << pt;
-          size_t o = (static_cast<size_t>(yy) * cols + xx) * bps;
-          out[o] = static_cast<uint8_t>(sample & 0xFF);
-          if (bps == 2) out[o + 1] = static_cast<uint8_t>((sample >> 8) & 0xFF);
-          ++since_restart;
-        }
-        std::swap(prev, cur);
+      switch ((predictor - 1) * 2 + (bps - 1)) {
+        case 0:  return decode_scan<1, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 1:  return decode_scan<1, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 2:  return decode_scan<2, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 3:  return decode_scan<2, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 4:  return decode_scan<3, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 5:  return decode_scan<3, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 6:  return decode_scan<4, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 7:  return decode_scan<4, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 8:  return decode_scan<5, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 9:  return decode_scan<5, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 10: return decode_scan<6, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 11: return decode_scan<6, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        case 12: return decode_scan<7, 1>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
+        default: return decode_scan<7, 2>(br, tables[table_id], rows, cols, out, default_pred, ri, pt, err, err_cap);
       }
-      return true;
     } else {
       // APPn / COM / DQT / anything else with a length: skipped above.
     }
