@@ -255,7 +255,12 @@ class BagLoader:
     Replaces the reference's 8-process ``DataLoader`` (``utils.py:96-116``):
     the per-tile Python work that forced multiprocessing there runs on the
     TPU here, so the host only decodes files.  A background thread keeps
-    ``prefetch`` bags in flight so device work overlaps the next read.
+    ``prefetch`` bags in flight so device work overlaps the next read;
+    ``io_workers > 1`` additionally fans the raw reads (file IO + DICOM
+    decode) over a thread pool — the counterpart of the reference's
+    ``num_workers`` (``config.yml:43``), threads sufficing because the
+    decoder is C and releases the GIL.  Device-side pipeline dispatch stays
+    on one thread either way; yielded order is always the epoch order.
 
     ``reader`` maps a :class:`BagRecord` to a grayscale float image (or a
     (CC, MLO) pair in multimodal mode) in [0, 1].
@@ -290,11 +295,14 @@ class BagLoader:
         sample_order: np.ndarray | None = None,
         sample_weights: Sequence[float] | None = None,
         prefetch: int = 2,
+        io_workers: int = 1,
         bucket_spec: "BucketSpec | None" = None,
         oversized: str = "extend",
     ):
         if sample_order is not None and sample_weights is not None:
             raise ValueError("pass sample_order or sample_weights, not both")
+        if io_workers < 1:
+            raise ValueError(f"io_workers must be >= 1, got {io_workers}")
         if oversized not in ("extend", "truncate"):
             raise ValueError(
                 f"oversized must be 'extend' or 'truncate', got {oversized!r}"
@@ -308,6 +316,7 @@ class BagLoader:
         self.sample_order = sample_order
         self.sample_weights = sample_weights
         self.prefetch = prefetch
+        self.io_workers = io_workers
         self.bucket_spec = bucket_spec
         self.oversized = oversized
         self.truncated_bags = 0  # bags that lost tiles under 'truncate'
@@ -338,13 +347,14 @@ class BagLoader:
             np.random.default_rng(self.seed + epoch).shuffle(order)
         return order
 
-    def _make_bag(self, i: int, epoch: int) -> tuple[Bag, BagRecord]:
+    def _make_bag(self, i: int, epoch: int, raw=None) -> tuple[Bag, BagRecord]:
         from dataclasses import replace as dc_replace
 
         from montecarlo_gated_mil_tpu.data.records import PixelData
 
         rec = self.records[i]
-        raw = self.reader(rec)
+        if raw is None:  # io_workers > 1 pre-reads in the pool
+            raw = self.reader(rec)
         if isinstance(raw, PixelData):
             # DICOM readers carry header metadata: the ImageLaterality tag
             # supersedes the table heuristic (reference dataset.py:57,62) and
@@ -447,10 +457,49 @@ class BagLoader:
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         stop = object()
 
+        def produce_serial():
+            for i in order:
+                q.put(self._make_bag(int(i), epoch))
+
+        def produce_pooled():
+            # Raw reads (file IO + DICOM decode, the host-side cost — a
+            # compressed mammogram is ~260 ms) fan out over a thread pool,
+            # order-preserving with a bounded in-flight window; the
+            # device-side pipeline stays on this single thread.  The
+            # reference gets the same concurrency from its num_workers=8
+            # DataLoader processes (/root/reference/utils.py:99,
+            # config.yml:43); threads suffice here because the decoder is
+            # C (ctypes releases the GIL).
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.io_workers) as ex:
+                pending: deque = deque()
+                it = iter(order)
+
+                def submit_next() -> bool:
+                    try:
+                        i = int(next(it))
+                    except StopIteration:
+                        return False
+                    pending.append((i, ex.submit(self.reader, self.records[i])))
+                    return True
+
+                for _ in range(self.io_workers + max(1, self.prefetch)):
+                    if not submit_next():
+                        break
+                while pending:
+                    i, fut = pending.popleft()
+                    raw = fut.result()
+                    q.put(self._make_bag(i, epoch, raw=raw))
+                    submit_next()
+
         def producer():
             try:
-                for i in order:
-                    q.put(self._make_bag(int(i), epoch))
+                if self.io_workers > 1:
+                    produce_pooled()
+                else:
+                    produce_serial()
             except BaseException as e:  # surface errors to the consumer
                 q.put(e)
             finally:

@@ -152,7 +152,11 @@ def _bundle(
     mm = cfg.data.multimodal and not getattr(cfg.data, "synthetic_count", 0)
     mk = lambda r, pc, **kw: BagLoader(  # noqa: E731
         r, reader, pc, multimodal=mm, seed=cfg.seed,
-        oversized=cfg.tpu.oversized_bags, **kw
+        oversized=cfg.tpu.oversized_bags,
+        # The reference's DataLoader worker count (config.yml:43,
+        # utils.py:99) maps to the loader's parallel-read pool.
+        io_workers=max(1, cfg.training_plan.parameters.num_workers),
+        **kw
     )
     # Adaptive buckets apply to eval too: sequential eval compiles one
     # program per bucket, and dp_eval groups bags per bucket before stacking.

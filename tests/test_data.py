@@ -295,3 +295,43 @@ def test_count_valid_tiles_matches_selection():
                           empty_threshold=0.3, bucket=64, bag_size=5)
     img = jnp.asarray(synthetic_image(256, 256, positive=True, seed=9))
     assert int(count_valid_tiles(img, jnp.asarray(False), starts, cfg2)) <= 5
+
+
+def test_bag_loader_io_workers_matches_serial():
+    """io_workers > 1 fans raw reads over a thread pool (the reference's
+    num_workers counterpart, utils.py:99) — yielded bags, records, and
+    ORDER are bit-identical to the serial loader even when reads complete
+    out of order."""
+    import time as _time
+
+    cfg = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.0,
+        empty_threshold=0.05, bucket=8,
+    )
+    recs = synthetic_records(8, seed=3)
+    base = make_synthetic_reader(128, 128)
+
+    def slow_reader(rec):  # later records finish first -> provoke reordering
+        _time.sleep(0.05 * (hash(rec.paths[0]) % 3))
+        return base(rec)
+
+    serial = BagLoader(recs, slow_reader, cfg, seed=11, shuffle=True)
+    pooled = BagLoader(
+        recs, slow_reader, cfg, seed=11, shuffle=True, io_workers=4
+    )
+    got_s = list(serial.epoch(0))
+    got_p = list(pooled.epoch(0))
+    assert [r.paths for _, r in got_s] == [r.paths for _, r in got_p]
+    for (bs, _), (bp, _) in zip(got_s, got_p):
+        np.testing.assert_array_equal(np.asarray(bs.patches), np.asarray(bp.patches))
+        np.testing.assert_array_equal(np.asarray(bs.mask), np.asarray(bp.mask))
+
+    # errors in pooled reads surface to the consumer too
+    def bad_reader(rec):
+        raise RuntimeError("boom-pooled")
+
+    bad = BagLoader(synthetic_records(3), bad_reader, cfg, io_workers=4)
+    with pytest.raises(RuntimeError, match="boom-pooled"):
+        list(bad.epoch(0))
+    with pytest.raises(ValueError, match="io_workers"):
+        BagLoader(recs, base, cfg, io_workers=0)
