@@ -34,6 +34,10 @@ class DataConfig:
     H: int = 7036
     W: int = 2800
     multimodal: bool = True
+    # Parsed for YAML compatibility but deliberately unread, exactly like
+    # the reference: config.yml:27 carries it, yet no reference code ever
+    # reads config['class_names'] — reports hardcode Negative/Positive
+    # (net_utils.py:180,218) and figures hardcode "Cancer" (infer.py).
     class_names: tuple[str, ...] = ("No cancer", "Cancer")
     patch_size: int = 224
     bag_size_train: int = -1
@@ -120,6 +124,19 @@ class TrainingPlan:
                 f"scheduler.unit must be 'epoch' or 'step', "
                 f"got {self.scheduler.unit!r}"
             )
+        if self.parameters.batch_size != 1:
+            # The reference trains one bag per step (config.yml:42 ships
+            # batch_size: 1; its loop would crash for more, the bs=1
+            # ``.item()`` at net_utils.py:20) and so does this rebuild:
+            # refuse rather than silently ignore the knob.  k bags per
+            # optimizer step = grad_acc_steps; multi-bag SPMD steps =
+            # tpu.data_parallel_train.
+            raise ValueError(
+                "batch_size must be 1 (per-bag training; use "
+                "parameters.grad_acc_steps for accumulation or "
+                "tpu.data_parallel_train for multi-bag SPMD steps), got "
+                f"{self.parameters.batch_size}"
+            )
 
 
 @dataclass(frozen=True)
@@ -131,15 +148,15 @@ class TpuConfig:
       instead of one per bag size.
     - ``compute_dtype``: activations dtype for the backbone ('bfloat16' feeds
       the MXU at full rate; 'float32' for parity tests).
-    - ``mesh_data`` / ``mesh_inst``: logical device-mesh extents for
-      bag-data-parallelism and intra-bag instance sharding.
+    - ``donate_buffers``: train steps donate the incoming TrainState so XLA
+      reuses its HBM in place (params + opt_state + grad accumulator would
+      otherwise be live twice per step).  EarlyStopping copies the params it
+      stashes, so save-best survives donation.
     """
 
     buckets: tuple[int, ...] = (64, 128, 256, 512, 1024)
     compute_dtype: str = "float32"
     param_dtype: str = "float32"
-    mesh_data: int = -1  # -1: all devices on the data axis
-    mesh_inst: int = 1
     donate_buffers: bool = True
     use_pallas_attention: bool = True
     # Run the TRAINING step's gated-attention head through the fused Pallas

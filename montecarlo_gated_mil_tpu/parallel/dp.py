@@ -36,6 +36,7 @@ def make_dp_train_step(
     criterion: Callable,
     optimizer: optax.GradientTransformation,
     mesh,
+    donate: bool = True,
 ):
     """Jitted SPMD training over stacked batches of bags ``(B, N, h, w, 3)``.
 
@@ -105,7 +106,9 @@ def make_dp_train_step(
         jax.jit,
         in_shardings=(rep, data_sharded(mesh, 1), shard1, shard1, rep),
         out_shardings=(rep, rep),
-        donate_argnums=(0,),
+        # In-place TrainState reuse (tpu.donate_buffers).  Anything stashing
+        # params across steps must copy — EarlyStopping does.
+        donate_argnums=(0,) if donate else (),
     )
     def step(state: TrainState, bags: Bag, keys: Array, weights: Array, do_update):
         grads, (loss_sum, aux_sum, correct_sum, n) = jax.grad(
@@ -134,7 +137,7 @@ def make_dp_train_step(
         jax.jit,
         in_shardings=(rep,),
         out_shardings=rep,
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )
     def apply_pending(state: TrainState):
         return jax.lax.cond(

@@ -190,12 +190,15 @@ def _fit(
         from montecarlo_gated_mil_tpu.train.loops import train_epoch_dp
 
         mesh = make_mesh()
-        dp_step, dp_apply = make_dp_train_step(model, criterion, optimizer, mesh)
+        dp_step, dp_apply = make_dp_train_step(
+            model, criterion, optimizer, mesh, donate=cfg.tpu.donate_buffers
+        )
     else:
         step_fn = make_train_step(
             model, criterion, optimizer,
             cfg.training_plan.parameters.grad_acc_steps,
             use_pallas=cfg.tpu.use_pallas_train and _use_pallas(cfg),
+            donate=cfg.tpu.donate_buffers,
         )
     stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")

@@ -60,8 +60,17 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     accumulation_steps: int,
     use_pallas: bool = False,
+    donate: bool = False,
 ):
     """Build the jitted one-bag training step.
+
+    ``donate=True`` (``tpu.donate_buffers`` via the runners) donates the
+    incoming ``TrainState``'s buffers to the step so XLA reuses them
+    in place instead of holding input and output states live at once
+    (params + opt_state + grad accumulator ~3x params HBM for Adam).
+    Callers must then treat the passed state as consumed — the epoch
+    loops do, and ``EarlyStopping`` copies the params it stashes.
+    Default off: bare API users (tests, tools) reuse states freely.
 
     The returned function ``step(state, bag, key, do_update)`` computes
     CE(+aux) loss and gradients for one bag, adds ``grads / k`` to the
@@ -141,7 +150,7 @@ def make_train_step(
             correct = (jnp.argmax(y) == bag.label).astype(jnp.float32)
             return loss / accumulation_steps, (loss, aux, correct)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state: TrainState, bag: Bag, key: Array, do_update: Array):
         grads, (loss, aux, correct) = jax.grad(loss_fn, has_aux=True)(
             state.params, bag, key
@@ -183,8 +192,14 @@ class EarlyStopping:
         if current_loss < self.best_loss:
             self.best_loss = current_loss
             self.counter = self.patience
-            # device arrays are immutable; holding the pytree is the deepcopy
-            self.best_params = params
+            # COPY, do not alias: the train steps donate their TrainState
+            # buffers (tpu.donate_buffers), so holding a reference to the
+            # live params would leave best_params pointing at deleted
+            # device memory after the next step.  (CPU ignores donation,
+            # which is why only real-hardware runs would have caught this.)
+            self.best_params = jax.tree.map(
+                lambda x: x.copy() if hasattr(x, "copy") else x, params
+            )
         else:
             self.counter -= 1
         if self.metrics is not None:

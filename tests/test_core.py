@@ -109,3 +109,15 @@ def test_rng_streams_independent_and_stable():
     it = key_iter(a)
     k1, k2 = next(it), next(it)
     assert not np.array_equal(jax.random.key_data(k1), jax.random.key_data(k2))
+
+
+def test_batch_size_must_be_one():
+    """batch_size is parsed (reference config.yml:42) but any value != 1 is
+    refused instead of silently ignored: per-bag training is the semantic
+    (the reference's own loop breaks past 1, net_utils.py:20)."""
+    import pytest
+
+    from montecarlo_gated_mil_tpu.core.config import config_from_dict
+
+    with pytest.raises(ValueError, match="batch_size must be 1"):
+        config_from_dict({"training_plan": {"parameters": {"batch_size": 4}}})

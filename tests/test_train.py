@@ -424,3 +424,50 @@ def test_make_train_step_pallas_falls_back_off_tpu():
     state = TrainState.create(params, opt)
     state, stats = step(state, bag, jax.random.key(1), jnp.asarray(True))
     assert np.isfinite(float(stats["loss"]))
+
+
+def test_early_stopping_copies_best_params():
+    """The stopper must COPY the params it stashes, not alias them: the
+    train steps donate their TrainState buffers (tpu.donate_buffers), so an
+    aliased best_params would point at deleted device memory after the next
+    step on real hardware (CPU ignores donation, masking the bug)."""
+    es = EarlyStopping(patience=2)
+    params = {"w": jnp.arange(4.0), "b": {"x": jnp.ones((2, 2))}}
+    es(1.0, params)
+    assert es.best_params["w"] is not params["w"]
+    assert es.best_params["b"]["x"] is not params["b"]["x"]
+    np.testing.assert_array_equal(
+        np.asarray(es.best_params["w"]), np.asarray(params["w"])
+    )
+
+
+def test_make_train_step_donate_smoke():
+    """donate=True (the runners' tpu.donate_buffers wiring) threads the
+    state through without error; callers treat the input state as consumed."""
+    from montecarlo_gated_mil_tpu.core.bag import Bag
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
+    from montecarlo_gated_mil_tpu.train.state import make_train_step
+
+    import jax
+
+    model = MultiHeadGatedAttentionMIL(
+        backbone="r18", feature_dropout=0.0, attention_dropout=0.0
+    )
+    key = jax.random.key(0)
+    params = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 32, 32, 3), jnp.float32), jnp.ones((8,), bool),
+    )["params"]
+    opt = optax.sgd(1e-3)
+    step = make_train_step(model, cross_entropy, opt, 1, donate=True)
+    bag = Bag(
+        patches=jnp.ones((8, 32, 32, 3), jnp.float32),
+        mask=jnp.arange(8) < 5,
+        label=jnp.asarray(1, jnp.int32),
+        tile_indices=jnp.arange(8, dtype=jnp.int32),
+    )
+    state = TrainState.create(params, opt)
+    for i in range(3):
+        state, stats = step(state, bag, jax.random.fold_in(key, i), jnp.asarray(True))
+    assert np.isfinite(float(stats["loss"])) and int(state.step) == 3
