@@ -231,6 +231,11 @@ bool inflate_raw(const uint8_t* src, size_t n, std::vector<uint8_t>* out,
     int ret = inflate(&zs, Z_NO_FLUSH);
     if (ret == Z_STREAM_END) break;
     if ((ret == Z_OK || ret == Z_BUF_ERROR) && zs.avail_out == 0) {
+      if (out->size() >= (1ull << 31)) {  // decompression-bomb bound
+        inflateEnd(&zs);
+        snprintf(err, err_cap, "deflated dataset exceeds 2 GiB");
+        return false;
+      }
       out->resize(out->size() * 2);
       continue;
     }
@@ -594,6 +599,11 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t len, uint8_t* out,
         snprintf(err, err_cap, "JPEG predictor %d out of range", predictor);
         return false;
       }
+      if (table_id > 3) {  // Td is a 4-bit field; only 0-3 exist
+        snprintf(err, err_cap, "JPEG scan references Huffman table %d (> 3)",
+                 table_id);
+        return false;
+      }
       if (!tables[table_id].present) {
         snprintf(err, err_cap, "JPEG scan references missing Huffman table %d",
                  table_id);
@@ -876,6 +886,23 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
   }
   if (result->bits_allocated == 0) result->bits_allocated = 16;
   if (result->bits_stored == 0) result->bits_stored = result->bits_allocated;
+  // A corrupt header must fail HERE, not as an overflow in the caller's
+  // 2^BitsStored normalization (found by the mutation fuzz test).
+  if (result->bits_allocated != 8 && result->bits_allocated != 16) {
+    free(result->pixels);
+    result->pixels = nullptr;
+    snprintf(result->error, sizeof(result->error),
+             "BitsAllocated %u unsupported (8 or 16)", result->bits_allocated);
+    return 9;
+  }
+  if (result->bits_stored > result->bits_allocated) {
+    free(result->pixels);
+    result->pixels = nullptr;
+    snprintf(result->error, sizeof(result->error),
+             "BitsStored %u exceeds BitsAllocated %u", result->bits_stored,
+             result->bits_allocated);
+    return 9;
+  }
   uint64_t expect =
       static_cast<uint64_t>(result->rows) * result->cols * (result->bits_allocated / 8);
   if (result->pixel_bytes < expect) {

@@ -511,3 +511,52 @@ def test_jpeg_lossy_sof_rejected(tmp_path):
     _write_encapsulated(p, 4, 4, 8, b"1.2.840.10008.1.2.4.70", bytes(frame))
     with pytest.raises(ValueError, match="not lossless"):
         read_dicom_native(p)
+
+
+def test_parser_survives_mutation_fuzz(tmp_path):
+    """The parser runs IN-PROCESS (ctypes): adversarial or corrupt files
+    must raise ValueError, never segfault, hang, or over-read.  Seeded
+    byte-flip/truncation fuzz over every supported container format."""
+    rng = np.random.default_rng(2024)
+    rows, cols, bits = 8, 10, 12
+    px = rng.integers(0, 2**bits, size=(rows, cols), dtype=np.uint16)
+    seeds = []
+    p = tmp_path / "plain.dcm"
+    _write_dicom(p, rows, cols, bits, px)
+    seeds.append(p.read_bytes())
+    p = tmp_path / "rle.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.5",
+                        _rle_frame(px))
+    seeds.append(p.read_bytes())
+    p = tmp_path / "jpll.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.70",
+                        _jpeg_lossless_frame(px, bits, restart=13))
+    seeds.append(p.read_bytes())
+    p = tmp_path / "defl.dcm"
+    _write_deflated(p, rows, cols, bits, px)
+    seeds.append(p.read_bytes())
+
+    target = tmp_path / "fuzz.dcm"
+    tried = 0
+    for seed_bytes in seeds:
+        for trial in range(120):
+            data = bytearray(seed_bytes)
+            kind = trial % 3
+            if kind == 0:  # flip 1-4 random bytes
+                for _ in range(rng.integers(1, 5)):
+                    data[rng.integers(0, len(data))] = rng.integers(0, 256)
+            elif kind == 1:  # truncate
+                data = data[: rng.integers(1, len(data))]
+            else:  # flip bytes in the tail half (pixel/entropy data)
+                for _ in range(rng.integers(1, 9)):
+                    data[rng.integers(len(data) // 2, len(data))] = (
+                        rng.integers(0, 256)
+                    )
+            target.write_bytes(bytes(data))
+            try:
+                img, _ = read_dicom_native(target)
+                assert img.shape[0] >= 1  # survived with a parseable result
+            except ValueError:
+                pass  # rejected loudly: the contract
+            tried += 1
+    assert tried == 480
