@@ -235,14 +235,17 @@ def estimate_valid_tiles(
     x1 = np.minimum(x0 + pb, nz.shape[1])
     counts = sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
     fill = counts / float(pb * pb)
-    n = int(np.sum(fill > cfg.empty_threshold - margin))
+    # Thresholds clamp at zero: a sampled-all-zero tile never counts
+    # (mammogram background is exact zero), but ANY sampled fill keeps a
+    # tile once the margin exceeds the threshold.  Both margins clamp the
+    # same way, so for tiny empty_thresholds n == n_hi instead of the
+    # unclamped n permanently exceeding n_hi (which would force the
+    # band-ambiguity fallback on every single bag).
+    n = int(np.sum(fill > max(cfg.empty_threshold - margin, 0.0)))
     if cfg.bag_size > 0:
         n = min(n, cfg.bag_size)
     if margin_hi is None:
         return n
-    # Clamped at zero: a sampled-all-zero tile never counts (mammogram
-    # background is exact zero), but ANY sampled fill keeps a tile in the
-    # generous count when the threshold is smaller than the margin.
     n_hi = int(np.sum(fill > max(cfg.empty_threshold - margin_hi, 0.0)))
     if cfg.bag_size > 0:
         n_hi = min(n_hi, cfg.bag_size)
@@ -485,7 +488,11 @@ class BagLoader:
                     pending.append((i, ex.submit(self.reader, self.records[i])))
                     return True
 
-                for _ in range(self.io_workers + max(1, self.prefetch)):
+                # In-flight window = io_workers exactly: each pending future
+                # holds a full decoded image (~80-160 MB at production
+                # size), so the window bounds peak host RAM at ~io_workers
+                # raw images — the inherent cost of N-way decode, not more.
+                for _ in range(self.io_workers):
                     if not submit_next():
                         break
                 while pending:

@@ -214,10 +214,13 @@ def _fit(
             stopper.best_params = best
             start_epoch = int(meta["epoch"]) + 1
             print(f"Resumed from epoch {meta['epoch']} (next: {start_epoch})")
-        else:
+        elif cfg.tpu.checkpoint_every:
             # Fresh run into a directory holding a previous run's steps:
             # purge them, or orbax would skip every save of THIS run and a
-            # later --resume would restore the stale run's weights.
+            # later --resume would restore the stale run's weights.  Gated
+            # on this run actually checkpointing: with checkpoint_every=0
+            # nothing would be saved, so destroying the previous run's
+            # resume state would gain nothing (review finding).
             print(f"Fresh run: purging stale checkpoints in {checkpointer.directory}")
             checkpointer.purge_steps()
     for epoch in range(start_epoch, cfg.training_plan.parameters.epochs + 1):

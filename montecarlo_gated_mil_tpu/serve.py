@@ -195,11 +195,14 @@ class MCDOPredictor:
         if est is None:
             return cap
         n, n_hi = est
-        bucket, overflowed = max(
-            self._decide_bucket(n, may_overflow),
-            self._decide_bucket(n_hi, may_overflow),
-        )
-        if overflowed and self.oversized != "extend":
+        bucket_lo, over_lo = self._decide_bucket(n, may_overflow)
+        bucket_hi, _ = self._decide_bucket(n_hi, may_overflow)
+        # Ambiguous band -> the LARGER bucket (padding-only cost); but the
+        # truncation counter/warning fire only on the CONFIDENT
+        # (standard-margin) overflow — counting band-ambiguous requests
+        # would report phantom truncations for bags that in fact fit.
+        bucket = max(bucket_lo, bucket_hi)
+        if over_lo and self.oversized != "extend":
             self.truncated_requests += 1
             if not self._warned_truncation:
                 self._warned_truncation = True

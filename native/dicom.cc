@@ -277,6 +277,23 @@ struct HuffTable {
 bool build_huff(const uint8_t counts[16], const uint8_t* values,
                 size_t nvals, HuffTable* t) {
   if (nvals > 256) return false;
+  // VALIDATE before touching any table state: an oversubscribed DHT must
+  // fail here, not mid-LUT-fill — the fill indexes lut_sym[code << (8-l)],
+  // which runs far out of bounds exactly when the canonical code
+  // overflows (crafted-file stack corruption, caught in review).
+  {
+    int32_t code = 0;
+    for (int l = 1; l <= 16; ++l) {
+      code += counts[l - 1];
+      if (code > (1 << l)) return false;  // oversubscribed
+      code <<= 1;
+    }
+  }
+  for (size_t i = 0; i < nvals; ++i) {
+    if (values[i] > 16) return false;  // SSSS categories are 0..16:
+    // anything larger would later drive undefined-behavior shifts in
+    // read_diff/BitReader::get and decode silent garbage.
+  }
   memcpy(t->vals, values, nvals);
   memset(t->lut_len, 0, sizeof(t->lut_len));
   int32_t code = 0, k = 0;
@@ -302,7 +319,6 @@ bool build_huff(const uint8_t counts[16], const uint8_t* values,
       t->maxcode[l] = code - 1;
     }
     code <<= 1;
-    if (code > (2 << l)) return false;  // oversubscribed
   }
   t->present = true;
   return true;
@@ -421,6 +437,7 @@ bool decode_scan(BitReader& br, const HuffTable& t, uint32_t rows,
                  uint32_t ri, int pt, char* err, size_t err_cap) {
   std::vector<int32_t> prev(cols, 0), cur(cols, 0);
   uint32_t since_restart = 0;
+  uint32_t first_row = 0;  // the current restart interval's first line
   bool fresh = true;  // next sample predicts default (scan/restart start)
   for (uint32_t yy = 0; yy < rows; ++yy) {
     uint8_t* row_out = out + static_cast<size_t>(yy) * cols * BPS;
@@ -433,14 +450,18 @@ bool decode_scan(BitReader& br, const HuffTable& t, uint32_t rows,
           return false;
         }
         br.reset_to_stream();  // drop the interval's alignment padding
-        if (br.off + 1 >= br.n || br.p[br.off] != 0xFF ||
-            br.p[br.off + 1] < 0xD0 || br.p[br.off + 1] > 0xD7) {
+        size_t mo = br.off;
+        // Optional 0xFF fill bytes may precede any marker (B.1.1.2).
+        while (mo + 1 < br.n && br.p[mo] == 0xFF && br.p[mo + 1] == 0xFF) ++mo;
+        if (mo + 1 >= br.n || br.p[mo] != 0xFF ||
+            br.p[mo + 1] < 0xD0 || br.p[mo + 1] > 0xD7) {
           snprintf(err, err_cap, "JPEG restart marker missing");
           return false;
         }
-        br.off += 2;
+        br.off = mo + 2;
         since_restart = 0;
         fresh = true;
+        first_row = yy;
       }
       int ssss = decode_symbol(&br, t);
       if (ssss < 0) {
@@ -453,8 +474,10 @@ bool decode_scan(BitReader& br, const HuffTable& t, uint32_t rows,
       if (fresh) {
         pred = default_pred;
         fresh = false;
-      } else if (yy == 0) {
-        pred = cur[xx - 1];  // first line: predictor 1 (H.1.2.2)
+      } else if (yy == first_row) {
+        // The 1-D Ra predictor for the first line of the scan AND of each
+        // restart interval (H.1.2.2) — not just image row 0.
+        pred = cur[xx - 1];
       } else if (xx == 0) {
         pred = prev[0];  // first column: predictor 2
       } else {

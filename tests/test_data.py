@@ -335,3 +335,27 @@ def test_bag_loader_io_workers_matches_serial():
         list(bad.epoch(0))
     with pytest.raises(ValueError, match="io_workers"):
         BagLoader(recs, base, cfg, io_workers=0)
+
+
+def test_estimator_band_collapses_for_tiny_thresholds():
+    """With empty_threshold below the margins, both counts clamp to the
+    same fill > 0 test — otherwise the unclamped standard count would
+    exceed the generous one on every image and force the band-ambiguity
+    fallback (exact device count) on every single bag (review finding)."""
+    from montecarlo_gated_mil_tpu.data.pipeline import (
+        ESTIMATE_MARGIN_HI,
+        estimate_valid_tiles,
+    )
+
+    cfg = PipelineConfig(
+        height=128, width=128, patch_size=64, overlap=0.5,
+        empty_threshold=0.02, bucket=8,
+    )
+    img = np.zeros((128, 128), np.float32)
+    img[:64, :40] = 1.0
+    starts = cfg.grid().tiles_array()[:, :2]
+    n, n_hi = estimate_valid_tiles(
+        img, False, starts, cfg, margin_hi=ESTIMATE_MARGIN_HI
+    )
+    assert n == n_hi
+    assert 0 < n <= cfg.grid().num_tiles

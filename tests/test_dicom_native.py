@@ -376,7 +376,7 @@ def _jpeg_lossless_frame(px, bits, predictor=1, pt=0, restart=0):
     default = 1 << (bits - pt - 1)
     since, rst = 0, 0
     fresh = True
-    markers = []  # (byte_offset_in_entropy, rst_index)
+    first_row = 0  # first line of the current restart interval: 1-D Ra
     for y in range(rows):
         for xx in range(cols):
             if restart and since == restart:
@@ -385,11 +385,12 @@ def _jpeg_lossless_frame(px, bits, predictor=1, pt=0, restart=0):
                 rst += 1
                 since = 0
                 fresh = True
+                first_row = y
             if fresh:
                 pred = default
                 fresh = False
-            elif y == 0:
-                pred = recon[0, xx - 1]
+            elif y == first_row:
+                pred = recon[y, xx - 1]
             elif xx == 0:
                 pred = recon[y - 1, 0]
             else:
@@ -560,3 +561,44 @@ def test_parser_survives_mutation_fuzz(tmp_path):
                 pass  # rejected loudly: the contract
             tried += 1
     assert tried == 480
+
+
+def test_oversubscribed_dht_rejected(tmp_path):
+    """An oversubscribed Huffman table (3 codes of length 1) must fail
+    BEFORE any decode-LUT fill — the fill indexes by canonical code, so an
+    invalid table used to write far out of bounds (review finding)."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    counts = [3] + [0] * 15  # 3 length-1 codes: impossible
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes([0, 1, 2]))
+    sof = seg(0xC3, struct.pack(">BHHB", 8, 4, 4, 1) + bytes([1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))
+    frame = b"\xff\xd8" + dht + sof + sos + b"\x00" * 8 + b"\xff\xd9"
+    p = tmp_path / "oversub.dcm"
+    _write_encapsulated(p, 4, 4, 8, b"1.2.840.10008.1.2.4.70", frame)
+    with pytest.raises(ValueError, match="Huffman"):
+        read_dicom_native(p)
+    # SSSS symbols above 16 are equally invalid (would drive UB shifts)
+    counts = [0, 1] + [0] * 14
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes([0x20]))
+    frame = b"\xff\xd8" + dht + sof + sos + b"\x00" * 8 + b"\xff\xd9"
+    p = tmp_path / "bigssss.dcm"
+    _write_encapsulated(p, 4, 4, 8, b"1.2.840.10008.1.2.4.70", frame)
+    with pytest.raises(ValueError, match="Huffman"):
+        read_dicom_native(p)
+
+
+def test_jpeg_fill_bytes_before_restart_markers(tmp_path):
+    """Optional 0xFF fill bytes may precede any marker (ISO B.1.1.2):
+    padding before RSTn must not abort the decode."""
+    rng = np.random.default_rng(21)
+    rows, cols, bits = 8, 13, 12
+    px = rng.integers(0, 2**bits, size=(rows, cols), dtype=np.uint16)
+    frame = _jpeg_lossless_frame(px, bits, predictor=2, restart=7)
+    for m in range(8):  # pad every restart marker with an extra fill byte
+        frame = frame.replace(bytes([0xFF, 0xD0 + m]), bytes([0xFF, 0xFF, 0xD0 + m]))
+    p = tmp_path / "fillrst.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.70", frame)
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / (2**bits - 1), atol=1e-7)

@@ -423,3 +423,39 @@ def test_mc_test_warns_on_mixed_regime(small_model_and_params):
             model, params, [(big, None)], num_samples=2,
             key=jax.random.key(4), quantized=True, shard_over=16,
         )
+
+
+def test_serve_truncate_band_ambiguity_not_counted(monkeypatch):
+    """Only a CONFIDENT (standard-margin) overflow counts as a truncation:
+    a band-ambiguous request whose low estimate fits the cap must not
+    report a phantom truncation (review finding)."""
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.serve import MCDOPredictor
+
+    model = MultiHeadGatedAttentionMIL(backbone="r18")
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, PATCH, PATCH, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    trunc = MCDOPredictor(
+        model, variables["params"], DENSE_CFG, num_samples=2,
+        use_pallas=False, bucket_spec=BucketSpec((8, 16)),
+        oversized="truncate",
+    )
+    img = np.ones((H, W), np.float32)
+    monkeypatch.setattr(
+        "montecarlo_gated_mil_tpu.data.pipeline.estimate_valid_tiles",
+        lambda *a, **k: (15, 20),  # fits / overflows: ambiguous
+    )
+    assert trunc._pick_bucket(img, "L") == 16
+    assert trunc.truncated_requests == 0
+    monkeypatch.setattr(
+        "montecarlo_gated_mil_tpu.data.pipeline.estimate_valid_tiles",
+        lambda *a, **k: (20, 25),  # confidently oversized
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        assert trunc._pick_bucket(img, "L") == 16
+    assert trunc.truncated_requests == 1

@@ -395,3 +395,31 @@ def test_fresh_run_over_stale_checkpoints_persists(tmp_path):
     ckpt = Checkpointer(os.path.join(cfg.model_path, "train_state"))
     assert ckpt.latest_step() is not None  # the second run's state persisted
     ckpt.close()
+
+
+@pytest.mark.slow
+def test_no_purge_when_run_never_checkpoints(tmp_path):
+    """checkpoint_every=0 (best-only) fresh runs must NOT destroy a
+    previous run's resume state: purging gains nothing when this run will
+    never save a step (review finding)."""
+    cfg = _tiny_config(
+        tmp_path,
+        training_plan={
+            "weighted_sampler": False,
+            "parameters": {"epochs": 1, "patience": 2, "grad_acc_steps": 1},
+        },
+    )
+    from montecarlo_gated_mil_tpu.runners import run_training
+    from montecarlo_gated_mil_tpu.train import Checkpointer
+
+    run_training(cfg)  # leaves train_state steps (checkpoint_every=1 default)
+    ckpt = Checkpointer(os.path.join(cfg.model_path, "train_state"))
+    steps_before = ckpt.latest_step()
+    assert steps_before is not None
+    ckpt.close()
+    cfg0 = _tiny_config(tmp_path, seed=9, tpu={"buckets": [8, 16],
+                                               "checkpoint_every": 0})
+    run_training(cfg0)  # best-only run: must leave run A's steps alone
+    ckpt = Checkpointer(os.path.join(cfg.model_path, "train_state"))
+    assert ckpt.latest_step() == steps_before
+    ckpt.close()
