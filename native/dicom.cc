@@ -7,9 +7,10 @@
 // this pipeline use — plus the compressed transfer syntaxes clinical
 // archives actually emit: RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
 // G), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70, ISO 10918-1
-// SOF3, grayscale), and Deflated Explicit VR LE (1.2.840.10008.1.2.1.99,
-// PS3.5 A.5, via zlib).  Remaining syntaxes (lossy JPEG, JPEG-LS,
-// JPEG 2000, big-endian) fail with an error NAMING the TransferSyntaxUID
+// SOF3, grayscale), JPEG-LS (1.2.840.10008.1.2.4.80 lossless / .81
+// near-lossless, ITU-T T.87 LOCO-I, grayscale), and Deflated Explicit VR
+// LE (1.2.840.10008.1.2.1.99, PS3.5 A.5, via zlib).  Remaining syntaxes
+// (lossy JPEG, JPEG 2000, big-endian) fail with an error NAMING the UID
 // so the gap is diagnosable (pydicom would decode those,
 // /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
 // the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
@@ -665,6 +666,571 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t len, uint8_t* out,
   return false;
 }
 
+// ---------------------------------------------------------------------------
+// JPEG-LS (ITU-T T.87 / ISO-IEC 14495-1; DICOM transfer syntaxes
+// 1.2.840.10008.1.2.4.80 lossless and .81 near-lossless — PS3.5 A.4.3).
+// Scope: single-component (grayscale) scans, 2-16 bit precision, any NEAR,
+// LSE preset parameters (MAXVAL/T1/T2/T3/RESET).  Restart intervals and
+// LSE mapping tables are refused by name (CharLS — what pydicom uses for
+// these syntaxes, /root/reference/dataset.py:93-112 — refuses them too).
+// The LOCO-I context modeling, Golomb coding, bias cancellation and run
+// mode follow T.87 Annexes A (procedures) and C (marker syntax) exactly;
+// the decoder is round-tripped against an independent Python encoder in
+// tests/test_dicom_native.py.
+
+// Run-length code-order table, T.87 A.7.1.1.
+const int kJlsJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2,  2,  2,  2,  3,  3,  3, 3,
+                       4, 4, 5, 5, 6, 6, 7, 7, 8,  9,  10, 11, 12, 13, 14, 15};
+
+// Bit reader for the JPEG-LS entropy stream: bytes MSB-first; after a 0xFF
+// byte the next byte carries only SEVEN bits (its stuffed MSB is 0 —
+// T.87 A.1, different from 10918's 0xFF00 un-stuffing).  0xFF followed by
+// a byte with the MSB set is a marker: past it — or past the stream end —
+// zero pad bits are supplied and counted so the caller can tell a clean
+// finish from a truncated stream.
+struct JlsBitReader {
+  const uint8_t* p;
+  size_t n;
+  size_t off = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int pad_bits = 0;
+  bool prev_ff = false;
+
+  inline void fill(int want) {
+    while (nbits < want) {
+      // Bulk path: 4 bytes at once when none is 0xFF and the previous
+      // byte wasn't (no stuffed bit or marker possible) — the
+      // overwhelmingly common case.
+      if (!prev_ff && nbits <= 32 && off + 4 <= n) {
+        uint32_t w;
+        memcpy(&w, p + off, 4);
+        uint32_t v = ~w;  // a byte of w is 0xFF iff the byte of v is 0
+        if (((v - 0x01010101u) & ~v & 0x80808080u) == 0) {
+          acc = (acc << 32) | static_cast<uint64_t>(__builtin_bswap32(w));
+          nbits += 32;
+          off += 4;
+          continue;
+        }
+      }
+      if (off < n) {
+        uint8_t b = p[off];
+        if (prev_ff) {
+          if (b & 0x80) {  // a real marker: pad instead of consuming
+            acc <<= 8;
+            nbits += 8;
+            pad_bits += 8;
+            continue;
+          }
+          ++off;
+          acc = (acc << 7) | b;
+          nbits += 7;
+          prev_ff = false;
+        } else {
+          ++off;
+          acc = (acc << 8) | b;
+          nbits += 8;
+          prev_ff = (b == 0xFF);
+        }
+      } else {
+        acc <<= 8;
+        nbits += 8;
+        pad_bits += 8;
+      }
+    }
+  }
+
+  inline uint32_t get(int k) {
+    if (k == 0) return 0;
+    fill(k);
+    nbits -= k;
+    return static_cast<uint32_t>((acc >> nbits) & ((1u << k) - 1));
+  }
+
+  inline uint32_t get1() {
+    fill(1);
+    nbits -= 1;
+    return static_cast<uint32_t>((acc >> nbits) & 1);
+  }
+
+  inline bool overran() const { return nbits < pad_bits; }
+};
+
+// Limited-length Golomb-Rice decode (T.87 A.5.3): u zero bits + a 1, then
+// u < limit-qbpp-1 ? k LSBs : an escape of qbpp raw bits coding value-1.
+// Valid streams never map a value past ~2*RANGE <= 2^17; anything larger
+// (only reachable from corrupt bits) is rejected so downstream arithmetic
+// stays comfortably inside int32.
+inline int32_t jls_golomb_decode(JlsBitReader* br, int k, int limit, int qbpp,
+                                 bool* ok) {
+  // One 48-bit fill covers the whole code in the common case (unary
+  // prefix <= 24 bits, found via count-leading-zeros, plus k <= 16
+  // magnitude bits) — no per-bit reads, no second refill.
+  br->fill(48);
+  int u = 0;
+  for (;;) {
+    uint32_t window =
+        static_cast<uint32_t>((br->acc >> (br->nbits - 24)) & 0xFFFFFF);
+    if (window == 0) {
+      u += 24;
+      br->nbits -= 24;
+      br->fill(24);
+    } else {
+      int lz = __builtin_clz(window) - 8;
+      u += lz;
+      br->nbits -= lz + 1;  // the zeros plus the terminating 1
+      break;
+    }
+    if (u > limit) {  // corrupt/truncated: the unary run can't be longer
+      *ok = false;
+      return 0;
+    }
+  }
+  int64_t v;
+  if (u < limit - qbpp - 1) {
+    v = (static_cast<int64_t>(u) << k) | br->get(k);
+  } else if (u == limit - qbpp - 1) {
+    v = static_cast<int64_t>(br->get(qbpp)) + 1;
+  } else {
+    *ok = false;
+    return 0;
+  }
+  if (v > (1 << 18)) {
+    *ok = false;
+    return 0;
+  }
+  return static_cast<int32_t>(v);
+}
+
+// Smallest k with (n << k) >= a (the Golomb parameter, A.5.1) — the bit-
+// length difference is exact or one short, so at most one correction.
+inline int jls_k(int64_t n, int64_t a) {
+  int k = __builtin_clzll(static_cast<uint64_t>(n)) -
+          __builtin_clzll(static_cast<uint64_t>(a));
+  if (k < 0) k = 0;
+  if ((n << k) < a) ++k;
+  return k;
+}
+
+struct JlsParams {
+  int32_t maxval, t1, t2, t3, reset, near_;
+  int32_t range, qbpp, bpp, limit;
+};
+
+// Gradient quantizer, T.87 A.3.3 (symmetric; sign handled by the caller).
+inline int jls_quantize(int32_t d, const JlsParams& pr) {
+  if (d <= -pr.t3) return -4;
+  if (d <= -pr.t2) return -3;
+  if (d <= -pr.t1) return -2;
+  if (d < -pr.near_) return -1;
+  if (d <= pr.near_) return 0;
+  if (d < pr.t1) return 1;
+  if (d < pr.t2) return 2;
+  if (d < pr.t3) return 3;
+  return 4;
+}
+
+// Default thresholds, T.87 C.2.4.1.1.1 — including the spec's odd CLAMP_i
+// (values above MAXVAL wrap to the LOWER bound, NEAR+i).
+inline int32_t jls_clamp_t(int32_t i, int32_t lo, int32_t maxval) {
+  return (i > maxval || i < lo) ? lo : i;
+}
+
+void jls_default_thresholds(JlsParams* pr) {
+  const int32_t mv = pr->maxval, nr = pr->near_;
+  if (mv >= 128) {
+    int32_t f = ((mv < 4095 ? mv : 4095) + 128) / 256;
+    pr->t1 = jls_clamp_t(f + 2 + 3 * nr, nr + 1, mv);
+    pr->t2 = jls_clamp_t(4 * f + 3 + 5 * nr, nr + 2, mv);
+    pr->t3 = jls_clamp_t(17 * f + 4 + 7 * nr, nr + 3, mv);
+  } else {
+    int32_t f = 256 / (mv + 1);
+    int32_t a = 3 / f + 3 * nr;
+    int32_t b = 7 / f + 5 * nr;
+    int32_t c = 21 / f + 7 * nr;
+    pr->t1 = jls_clamp_t(a > 2 ? a : 2, nr + 1, mv);
+    pr->t2 = jls_clamp_t(b > 3 ? b : 3, nr + 2, mv);
+    pr->t3 = jls_clamp_t(c > 4 ? c : 4, nr + 3, mv);
+  }
+}
+
+// Decode the single-component scan that follows SOS (T.87 A.2-A.7).
+bool jls_decode_scan(JlsBitReader& br, const JlsParams& pr, uint32_t rows,
+                     uint32_t cols, uint8_t* out, uint32_t bps, char* err,
+                     size_t err_cap) {
+  // Context state: 1..364 regular (index 0 unused — the all-zero gradient
+  // is run mode), 365/366 run interruption (A.2.1 init values).  64-bit:
+  // an LSE RESET up to 65535 lets A accumulate past int32 before halving.
+  int64_t A[367], B[365], N[367], Nn[2] = {0, 0};
+  int32_t C[365];
+  const int64_t a0 = (pr.range + 32) >> 6;
+  for (int i = 0; i < 367; ++i) {
+    A[i] = a0 > 2 ? a0 : 2;
+    N[i] = 1;
+  }
+  memset(B, 0, sizeof(B));
+  memset(C, 0, sizeof(C));
+  int run_index = 0;
+  const int32_t q_step = 2 * pr.near_ + 1;
+  const int32_t wrap = pr.range * q_step;
+  // Gradient-quantizer lookup over the full difference range: one load
+  // replaces 9 data-dependent compares (3x per sample; they mispredict
+  // heavily on noisy tissue).  <=512 KiB at 16-bit, 32 KiB at 12-bit.
+  std::vector<int8_t> qlut_store(2 * pr.maxval + 1);
+  int8_t* qlut = qlut_store.data() + pr.maxval;
+  for (int32_t d = -pr.maxval; d <= pr.maxval; ++d) {
+    qlut[d] = static_cast<int8_t>(jls_quantize(d, pr));
+  }
+
+  // prev/cur hold reconstructed samples with a [-1] slot at index 0 and a
+  // duplicated final Rb at index cols+1, so Ra/Rb/Rc/Rd are plain loads;
+  // the slot chain reproduces the spec's first-column Ra=Rb / Rc rule.
+  std::vector<int32_t> prev(cols + 2, 0), cur(cols + 2, 0);
+
+  for (uint32_t yy = 0; yy < rows; ++yy) {
+    cur[0] = prev[1];
+    prev[cols + 1] = prev[cols];
+    uint32_t xx = 0;
+    while (xx < cols) {
+      const int32_t Ra = cur[xx], Rb = prev[xx + 1], Rc = prev[xx],
+                    Rd = prev[xx + 2];
+      const int32_t D1 = Rd - Rb, D2 = Rb - Rc, D3 = Rc - Ra;
+      const int q1 = qlut[D1], q2 = qlut[D2], q3 = qlut[D3];
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // ---- Run mode (A.7). Segments of 2^J[run_index] samples of Ra.
+        bool interrupted = false;
+        while (!interrupted) {
+          if (br.overran()) {
+            snprintf(err, err_cap, "JPEG-LS entropy data truncated in a run");
+            return false;
+          }
+          if (br.get1()) {
+            uint32_t seg = 1u << kJlsJ[run_index];
+            uint32_t remaining = cols - xx;
+            uint32_t fillc = seg < remaining ? seg : remaining;
+            for (uint32_t i = 0; i < fillc; ++i) cur[xx + 1 + i] = Ra;
+            xx += fillc;
+            if (fillc == seg && run_index < 31) ++run_index;
+            if (xx >= cols) break;  // runs end at the line end (A.7.1.2)
+          } else {
+            interrupted = true;
+            int j = kJlsJ[run_index];
+            uint32_t r = j ? br.get(j) : 0;
+            if (xx + r >= cols) {
+              snprintf(err, err_cap,
+                       "JPEG-LS run remainder overruns the line");
+              return false;
+            }
+            for (uint32_t i = 0; i < r; ++i) cur[xx + 1 + i] = Ra;
+            xx += r;
+            // Run interruption sample (A.7.2).
+            const int32_t Rb2 = prev[xx + 1];
+            const int32_t ad = Ra > Rb2 ? Ra - Rb2 : Rb2 - Ra;
+            const int ritype = ad <= pr.near_ ? 1 : 0;
+            const int32_t Px = ritype ? Ra : Rb2;
+            const int ctx = 365 + ritype;
+            int64_t temp = A[ctx] + (ritype ? (N[ctx] >> 1) : 0);
+            int k = jls_k(N[ctx], temp);
+            bool ok = true;
+            const int glimit = pr.limit - kJlsJ[run_index] - 1;
+            int32_t em = jls_golomb_decode(&br, k, glimit, pr.qbpp, &ok);
+            if (!ok || br.overran()) {
+              snprintf(err, err_cap,
+                       "JPEG-LS entropy data corrupt at sample (%u,%u)", yy,
+                       xx);
+              return false;
+            }
+            // Invert the A.7.2 mapping EM = 2|E| - RItype - map, where
+            // map distinguishes the sign given (k, Nn, N).
+            const int32_t s = em + ritype;
+            const int map = s & 1;
+            const int32_t abse = (s + map) >> 1;
+            const bool cond = (k == 0) && (2 * Nn[ritype] < N[ctx]);
+            int32_t errval;
+            if (abse == 0) {
+              errval = 0;
+            } else if (map == (cond ? 1 : 0)) {
+              errval = abse;
+            } else {
+              errval = -abse;
+            }
+            if (errval < 0) ++Nn[ritype];
+            A[ctx] += (em + 1 - ritype) >> 1;
+            if (N[ctx] == pr.reset) {
+              A[ctx] >>= 1;
+              N[ctx] >>= 1;
+              Nn[ritype] >>= 1;
+            }
+            ++N[ctx];
+            int32_t e = errval * q_step;
+            int32_t Rx = (ritype == 0 && Ra > Rb2) ? Px - e : Px + e;
+            if (Rx < -pr.near_) Rx += wrap;
+            else if (Rx > pr.maxval + pr.near_) Rx -= wrap;
+            if (Rx < 0) Rx = 0;
+            else if (Rx > pr.maxval) Rx = pr.maxval;
+            cur[xx + 1] = Rx;
+            ++xx;
+            if (run_index > 0) --run_index;
+          }
+        }
+        continue;
+      }
+      // ---- Regular mode (A.4-A.6).
+      int q = 81 * q1 + 9 * q2 + q3;
+      int sign = 1;
+      if (q < 0) {
+        sign = -1;
+        q = -q;
+      }
+      // Median edge detector + bias correction (A.4.1-A.4.2).
+      int32_t Px;
+      const int32_t mn = Ra < Rb ? Ra : Rb, mx = Ra > Rb ? Ra : Rb;
+      if (Rc >= mx) Px = mn;
+      else if (Rc <= mn) Px = mx;
+      else Px = Ra + Rb - Rc;
+      Px += sign * C[q];
+      if (Px < 0) Px = 0;
+      else if (Px > pr.maxval) Px = pr.maxval;
+      int k = jls_k(N[q], A[q]);
+      bool ok = true;
+      int32_t merr = jls_golomb_decode(&br, k, pr.limit, pr.qbpp, &ok);
+      if (!ok || br.overran()) {
+        snprintf(err, err_cap, "JPEG-LS entropy data corrupt at sample (%u,%u)",
+                 yy, xx);
+        return false;
+      }
+      int32_t errval;
+      if (pr.near_ == 0 && k == 0 && 2 * B[q] <= -N[q]) {
+        // Special mapping (A.5.2, map inverted for k=0 skewed contexts).
+        if (merr & 1) errval = (merr - 1) >> 1;
+        else errval = -(merr >> 1) - 1;
+      } else {
+        if (merr & 1) errval = -((merr + 1) >> 1);
+        else errval = merr >> 1;
+      }
+      // Update A/B, halve at RESET, then bias cancellation (A.6).
+      B[q] += errval * q_step;
+      A[q] += errval < 0 ? -errval : errval;
+      if (N[q] == pr.reset) {
+        A[q] >>= 1;
+        B[q] = B[q] >= 0 ? B[q] >> 1 : -((1 - B[q]) >> 1);
+        N[q] >>= 1;
+      }
+      ++N[q];
+      if (B[q] <= -N[q]) {
+        B[q] += N[q];
+        if (C[q] > -128) --C[q];
+        if (B[q] <= -N[q]) B[q] = -N[q] + 1;
+      } else if (B[q] > 0) {
+        B[q] -= N[q];
+        if (C[q] < 127) ++C[q];
+        if (B[q] > 0) B[q] = 0;
+      }
+      if (sign < 0) errval = -errval;
+      int32_t Rx = Px + errval * q_step;
+      if (Rx < -pr.near_) Rx += wrap;
+      else if (Rx > pr.maxval + pr.near_) Rx -= wrap;
+      if (Rx < 0) Rx = 0;
+      else if (Rx > pr.maxval) Rx = pr.maxval;
+      cur[xx + 1] = Rx;
+      ++xx;
+    }
+    uint8_t* row_out = out + static_cast<size_t>(yy) * cols * bps;
+    for (uint32_t i = 0; i < cols; ++i) {
+      uint32_t v = static_cast<uint32_t>(cur[i + 1]);
+      row_out[i * bps] = static_cast<uint8_t>(v & 0xFF);
+      if (bps == 2) row_out[i * bps + 1] = static_cast<uint8_t>(v >> 8);
+    }
+    std::swap(prev, cur);
+  }
+  if (br.overran()) {
+    snprintf(err, err_cap, "JPEG-LS entropy data truncated");
+    return false;
+  }
+  return true;
+}
+
+bool jpeg_ls_decode(const uint8_t* data, size_t len, uint8_t* out,
+                    uint32_t rows, uint32_t cols, uint32_t bps, char* err,
+                    size_t err_cap) {
+  size_t off = 0;
+  while (off + 1 < len && !(data[off] == 0xFF && data[off + 1] == 0xD8)) ++off;
+  if (off + 1 >= len) {
+    snprintf(err, err_cap, "JPEG-LS stream has no SOI marker");
+    return false;
+  }
+  off += 2;
+
+  int precision = 0;
+  bool have_sof = false;
+  uint32_t ri = 0;
+  JlsParams pr{};
+  pr.maxval = 0;  // 0 = derive from precision / LSE defaults
+  pr.t1 = pr.t2 = pr.t3 = 0;
+  pr.reset = 0;
+
+  while (off + 1 < len) {
+    if (data[off] != 0xFF) {
+      snprintf(err, err_cap, "JPEG-LS marker expected at offset %zu", off);
+      return false;
+    }
+    while (off < len && data[off] == 0xFF) ++off;  // fill bytes
+    if (off >= len) break;
+    uint8_t m = data[off++];
+    if (m == 0xD9) break;  // EOI before SOS: error below
+    if (off + 1 >= len) break;
+    size_t seg_len = (static_cast<size_t>(data[off]) << 8) | data[off + 1];
+    if (seg_len < 2 || off + seg_len > len) {
+      snprintf(err, err_cap, "JPEG-LS segment FF%02X overruns the stream", m);
+      return false;
+    }
+    const uint8_t* seg = data + off + 2;
+    size_t body = seg_len - 2;
+    off += seg_len;
+
+    if (m == 0xF7) {  // SOF55
+      if (body < 9) {
+        snprintf(err, err_cap, "JPEG-LS SOF55 segment too short");
+        return false;
+      }
+      precision = seg[0];
+      uint32_t y = (seg[1] << 8) | seg[2];
+      uint32_t x = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) {
+        snprintf(err, err_cap,
+                 "JPEG-LS with %u components unsupported (grayscale "
+                 "mammography expects 1)",
+                 seg[5]);
+        return false;
+      }
+      if (y != rows || x != cols) {
+        snprintf(err, err_cap,
+                 "JPEG-LS frame %ux%u disagrees with Rows/Columns %ux%u", y,
+                 x, rows, cols);
+        return false;
+      }
+      if (seg[7] != 0x11) {
+        snprintf(err, err_cap, "JPEG-LS subsampling %02X unsupported", seg[7]);
+        return false;
+      }
+      if (precision < 2 || precision > 16 || (precision > 8 && bps < 2)) {
+        snprintf(err, err_cap,
+                 "JPEG-LS precision %d incompatible with BitsAllocated %u",
+                 precision, bps * 8);
+        return false;
+      }
+      have_sof = true;
+    } else if (m == 0xF8) {  // LSE: preset parameters
+      if (body < 1) {
+        snprintf(err, err_cap, "JPEG-LS LSE segment too short");
+        return false;
+      }
+      if (seg[0] == 1) {
+        if (body < 11) {
+          snprintf(err, err_cap, "JPEG-LS LSE preset segment too short");
+          return false;
+        }
+        auto u16be = [&](size_t i) {
+          return static_cast<int32_t>((seg[i] << 8) | seg[i + 1]);
+        };
+        pr.maxval = u16be(1);  // 0 keeps the default (C.2.4.1.1)
+        pr.t1 = u16be(3);
+        pr.t2 = u16be(5);
+        pr.t3 = u16be(7);
+        pr.reset = u16be(9);
+      } else {
+        snprintf(err, err_cap,
+                 "JPEG-LS LSE ID %u unsupported (only preset parameters, "
+                 "ID 1)",
+                 seg[0]);
+        return false;
+      }
+    } else if (m == 0xDD) {  // DRI
+      if (body < 2) {
+        snprintf(err, err_cap, "JPEG-LS DRI segment too short");
+        return false;
+      }
+      ri = (seg[0] << 8) | seg[1];
+    } else if ((m >= 0xC0 && m <= 0xCF) && m != 0xC8) {
+      snprintf(err, err_cap,
+               "marker SOF%d inside a JPEG-LS stream (expected SOF55)",
+               m - 0xC0);
+      return false;
+    } else if (m == 0xDA) {  // SOS
+      if (!have_sof) {
+        snprintf(err, err_cap, "JPEG-LS SOS before SOF55");
+        return false;
+      }
+      if (ri != 0) {
+        // Restart-marker re-init semantics are encoder-defined corner
+        // territory; refuse loudly (CharLS does the same).
+        snprintf(err, err_cap, "JPEG-LS restart intervals unsupported");
+        return false;
+      }
+      if (body < 6 || seg[0] != 1) {
+        snprintf(err, err_cap, "JPEG-LS scan must hold exactly 1 component");
+        return false;
+      }
+      if (seg[2] != 0) {  // Tm: full-byte mapping-table selector (C.4.2)
+        snprintf(err, err_cap, "JPEG-LS mapping tables unsupported");
+        return false;
+      }
+      pr.near_ = seg[3];
+      if (seg[4] != 0) {
+        snprintf(err, err_cap,
+                 "JPEG-LS interleave mode %u unsupported for 1 component",
+                 seg[4]);
+        return false;
+      }
+      if ((seg[5] & 0x0F) != 0) {
+        snprintf(err, err_cap, "JPEG-LS point transform unsupported");
+        return false;
+      }
+      if (pr.maxval == 0) pr.maxval = (1 << precision) - 1;
+      if (pr.maxval < 1 || pr.maxval >= (1 << 16) ||
+          (precision <= 8 && bps == 1 && pr.maxval > 255)) {
+        snprintf(err, err_cap, "JPEG-LS MAXVAL %d out of range", pr.maxval);
+        return false;
+      }
+      if (pr.near_ > pr.maxval / 2) {
+        snprintf(err, err_cap, "JPEG-LS NEAR %d exceeds MAXVAL/2", pr.near_);
+        return false;
+      }
+      if (pr.reset == 0) pr.reset = 64;
+      if (pr.reset < 3) {  // C.2.4.1.1: RESET >= 3
+        snprintf(err, err_cap, "JPEG-LS RESET %d out of range", pr.reset);
+        return false;
+      }
+      JlsParams defaults = pr;
+      jls_default_thresholds(&defaults);
+      if (pr.t1 == 0) pr.t1 = defaults.t1;
+      if (pr.t2 == 0) pr.t2 = defaults.t2;
+      if (pr.t3 == 0) pr.t3 = defaults.t3;
+      if (!(pr.near_ < pr.t1 && pr.t1 <= pr.t2 && pr.t2 <= pr.t3 &&
+            pr.t3 <= pr.maxval)) {
+        snprintf(err, err_cap,
+                 "JPEG-LS thresholds T1=%d T2=%d T3=%d invalid for "
+                 "MAXVAL=%d NEAR=%d",
+                 pr.t1, pr.t2, pr.t3, pr.maxval, pr.near_);
+        return false;
+      }
+      pr.range = (pr.maxval + 2 * pr.near_) / (2 * pr.near_ + 1) + 1;
+      pr.qbpp = 1;
+      while ((1 << pr.qbpp) < pr.range) ++pr.qbpp;
+      pr.bpp = 1;
+      while ((1 << pr.bpp) < pr.maxval + 1) ++pr.bpp;
+      if (pr.bpp < 2) pr.bpp = 2;
+      pr.limit = 2 * (pr.bpp + (pr.bpp > 8 ? pr.bpp : 8));
+      JlsBitReader br{data + off, len - off};
+      return jls_decode_scan(br, pr, rows, cols, out, bps, err, err_cap);
+    }
+    // APPn / COM / anything else with a length: skipped.
+  }
+  snprintf(err, err_cap, have_sof ? "JPEG-LS stream ended before SOS"
+                                  : "JPEG-LS stream holds no SOF55 frame");
+  return false;
+}
+
 }  // namespace
 
 extern "C" {
@@ -773,11 +1339,14 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
         const bool is_jpegll =
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.57") == 0 ||
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.70") == 0;
-        if (!is_rle && !is_jpegll) {
+        const bool is_jls =
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.80") == 0 ||
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.81") == 0;
+        if (!is_rle && !is_jpegll && !is_jls) {
           snprintf(result->error, sizeof(result->error),
                    "encapsulated pixel data in unsupported transfer syntax "
                    "%s (%s); supported: uncompressed little-endian, RLE "
-                   "Lossless, JPEG Lossless process 14",
+                   "Lossless, JPEG Lossless process 14, JPEG-LS",
                    result->transfer_syntax[0] ? result->transfer_syntax
                                               : "(missing 0002,0010)",
                    syntax_name(result->transfer_syntax));
@@ -808,7 +1377,7 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
                      "malformed encapsulated pixel-data item");
             return 4;
           }
-          if (item_index++ > 0 && (is_jpegll || stream.empty())) {
+          if (item_index++ > 0 && (is_jpegll || is_jls || stream.empty())) {
             stream.insert(stream.end(), c.p + c.off, c.p + c.off + l2);
           }
           c.off += l2;
@@ -824,14 +1393,19 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
           return 6;
         }
         char err[192] = {0};
-        bool ok = is_rle
-                      ? rle_decode_frame(stream.data(), stream.size(),
-                                         result->pixels, npix, bps, err,
-                                         sizeof(err))
-                      : jpeg_lossless_decode(stream.data(), stream.size(),
-                                             result->pixels, result->rows,
-                                             result->cols, bps, err,
-                                             sizeof(err));
+        bool ok;
+        if (is_rle) {
+          ok = rle_decode_frame(stream.data(), stream.size(), result->pixels,
+                                npix, bps, err, sizeof(err));
+        } else if (is_jls) {
+          ok = jpeg_ls_decode(stream.data(), stream.size(), result->pixels,
+                              result->rows, result->cols, bps, err,
+                              sizeof(err));
+        } else {
+          ok = jpeg_lossless_decode(stream.data(), stream.size(),
+                                    result->pixels, result->rows,
+                                    result->cols, bps, err, sizeof(err));
+        }
         if (!ok) {
           free(result->pixels);
           result->pixels = nullptr;

@@ -188,7 +188,7 @@ def _item(data: bytes) -> bytes:
 
 
 def _write_encapsulated(path, rows, cols, bits_stored, syntax_uid: bytes,
-                        frame: bytes | None):
+                        frame: bytes | None, bits_alloc: int = 16):
     """Part 10 file with encapsulated PixelData under `syntax_uid`."""
     out = b"\x00" * 128 + b"DICM"
     out += _el_explicit(0x0002, 0x0010, b"UI", syntax_uid)
@@ -197,7 +197,7 @@ def _write_encapsulated(path, rows, cols, bits_stored, syntax_uid: bytes,
     out += _el_explicit(0x0020, 0x0062, b"CS", b"R")
     out += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
     out += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
-    out += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    out += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", bits_alloc))
     out += _el_explicit(0x0028, 0x0101, b"US", struct.pack("<H", bits_stored))
     out += _el_explicit(0x0028, 0x0103, b"US", struct.pack("<H", 0))
     out += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
@@ -602,3 +602,439 @@ def test_jpeg_fill_bytes_before_restart_markers(tmp_path):
     _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.70", frame)
     img, _ = read_dicom_native(p)
     np.testing.assert_allclose(img, px / (2**bits - 1), atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# JPEG-LS (ITU-T T.87; 1.2.840.10008.1.2.4.80/.81).  The fixture below is an
+# INDEPENDENT encoder implementing the same public spec the C++ decoder
+# implements (native/dicom.cc::jls_decode_scan) — written in a different
+# language from the spec text, so a shared misreading has to happen twice
+# to round-trip.
+
+_JLS_J = [0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+          4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+class _JlsBitWriter:
+    """MSB-first with T.87 A.1 stuffing: after an 0xFF byte the next byte
+    carries only SEVEN bits (its MSB is a stuffed 0)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bits = []
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+        self._drain(False)
+
+    def _drain(self, flush):
+        while True:
+            width = 7 if (self.out and self.out[-1] == 0xFF) else 8
+            if len(self.bits) < width:
+                if not (flush and self.bits):
+                    return
+                chunk = self.bits + [0] * (width - len(self.bits))
+                self.bits = []
+            else:
+                chunk, self.bits = self.bits[:width], self.bits[width:]
+            v = 0
+            for b in chunk:
+                v = (v << 1) | b
+            self.out.append(v)
+
+    def flush(self):
+        self._drain(True)
+
+
+def _jls_thresholds(maxval, near):
+    """Default T1/T2/T3 (T.87 C.2.4.1.1.1), incl. the spec's CLAMP_i that
+    wraps above-MAXVAL values to the LOWER bound."""
+    def clamp(i, lo):
+        return lo if (i > maxval or i < lo) else i
+
+    if maxval >= 128:
+        f = (min(maxval, 4095) + 128) // 256
+        return (clamp(f + 2 + 3 * near, near + 1),
+                clamp(4 * f + 3 + 5 * near, near + 2),
+                clamp(17 * f + 4 + 7 * near, near + 3))
+    f = 256 // (maxval + 1)
+    return (clamp(max(2, 3 // f + 3 * near), near + 1),
+            clamp(max(3, 7 // f + 5 * near), near + 2),
+            clamp(max(4, 21 // f + 7 * near), near + 3))
+
+
+def _jls_golomb(w, val, k, limit, qbpp):
+    """Limited-length Golomb-Rice (T.87 A.5.3)."""
+    u = val >> k
+    if u < limit - qbpp - 1:
+        w.put(1, u + 1)  # u zeros then a 1
+        if k:
+            w.put(val & ((1 << k) - 1), k)
+    else:
+        w.put(1, limit - qbpp)  # limit-qbpp-1 zeros then a 1
+        w.put(val - 1, qbpp)
+
+
+def _jls_frame(px, precision, near=0, maxval=None, thresholds=None, reset=64):
+    """Encode a grayscale array as a T.87 JPEG-LS stream (LOCO-I: context
+    modeling + bias cancellation + Golomb coding + run mode)."""
+    rows, cols = px.shape
+    emit_lse = maxval is not None or thresholds is not None or reset != 64
+    mv = maxval if maxval is not None else (1 << precision) - 1
+    t1, t2, t3 = thresholds if thresholds else _jls_thresholds(mv, near)
+    step = 2 * near + 1
+    rng_ = (mv + 2 * near) // step + 1
+    wrap = rng_ * step
+    qbpp = max(1, (rng_ - 1).bit_length())
+    bpp = max(2, mv.bit_length())
+    limit = 2 * (bpp + max(8, bpp))
+    A = [max(2, (rng_ + 32) // 64)] * 367
+    B = [0] * 365
+    Cb = [0] * 365
+    N = [1] * 367
+    Nn = [0, 0]
+    run_index = 0
+    w = _JlsBitWriter()
+    src = px.astype(np.int64)
+
+    def quant(d):
+        if d <= -t3:
+            return -4
+        if d <= -t2:
+            return -3
+        if d <= -t1:
+            return -2
+        if d < -near:
+            return -1
+        if d <= near:
+            return 0
+        if d < t1:
+            return 1
+        if d < t2:
+            return 2
+        if d < t3:
+            return 3
+        return 4
+
+    def modrange(e):
+        if e < 0:
+            e += rng_
+        if e >= (rng_ + 1) // 2:
+            e -= rng_
+        return e
+
+    prev = [0] * (cols + 2)
+    cur = [0] * (cols + 2)
+    for y in range(rows):
+        cur[0] = prev[1]
+        prev[cols + 1] = prev[cols]
+        x = 0
+        while x < cols:
+            ra, rb, rc, rd = cur[x], prev[x + 1], prev[x], prev[x + 2]
+            q1, q2, q3 = quant(rd - rb), quant(rb - rc), quant(rc - ra)
+            if q1 == q2 == q3 == 0:
+                # Run mode (A.7): samples within NEAR of Ra reconstruct AS Ra.
+                runcnt = 0
+                while (x + runcnt < cols
+                       and abs(int(src[y, x + runcnt]) - ra) <= near):
+                    cur[x + 1 + runcnt] = ra
+                    runcnt += 1
+                x += runcnt
+                while runcnt >= (1 << _JLS_J[run_index]):
+                    w.put(1, 1)
+                    runcnt -= 1 << _JLS_J[run_index]
+                    if run_index < 31:
+                        run_index += 1
+                if x >= cols:
+                    if runcnt > 0:
+                        w.put(1, 1)  # partial segment ending the line
+                    continue
+                w.put(0, 1)
+                if _JLS_J[run_index]:
+                    w.put(runcnt, _JLS_J[run_index])
+                # Run interruption sample (A.7.2).
+                ix = int(src[y, x])
+                rb2 = prev[x + 1]
+                ritype = 1 if abs(ra - rb2) <= near else 0
+                pxp = ra if ritype else rb2
+                errval = ix - pxp
+                flip = ritype == 0 and ra > rb2
+                if flip:
+                    errval = -errval
+                if near > 0:
+                    if errval > 0:
+                        errval = (near + errval) // step
+                    else:
+                        errval = -((near - errval) // step)
+                    rx = pxp + (-errval if flip else errval) * step
+                    if rx < -near:
+                        rx += wrap
+                    elif rx > mv + near:
+                        rx -= wrap
+                    rx = min(max(rx, 0), mv)
+                else:
+                    rx = ix
+                errval = modrange(errval)
+                ctx = 365 + ritype
+                temp = A[ctx] + (N[ctx] >> 1 if ritype else 0)
+                k = 0
+                while (N[ctx] << k) < temp:
+                    k += 1
+                cond = k == 0 and 2 * Nn[ritype] < N[ctx]
+                if errval == 0:
+                    m = 0
+                elif errval > 0:
+                    m = 1 if cond else 0
+                else:
+                    m = 0 if cond else 1
+                em = 2 * abs(errval) - ritype - m
+                _jls_golomb(w, em, k, limit - _JLS_J[run_index] - 1, qbpp)
+                if errval < 0:
+                    Nn[ritype] += 1
+                A[ctx] += (em + 1 - ritype) >> 1
+                if N[ctx] == reset:
+                    A[ctx] >>= 1
+                    N[ctx] >>= 1
+                    Nn[ritype] >>= 1
+                N[ctx] += 1
+                cur[x + 1] = rx
+                x += 1
+                if run_index > 0:
+                    run_index -= 1
+                continue
+            # Regular mode (A.4-A.6).
+            q = 81 * q1 + 9 * q2 + q3
+            sign = 1
+            if q < 0:
+                sign, q = -1, -q
+            mn, mx = min(ra, rb), max(ra, rb)
+            if rc >= mx:
+                pxp = mn
+            elif rc <= mn:
+                pxp = mx
+            else:
+                pxp = ra + rb - rc
+            pxp = min(max(pxp + sign * Cb[q], 0), mv)
+            ix = int(src[y, x])
+            errval = ix - pxp
+            if sign < 0:
+                errval = -errval
+            if near > 0:
+                if errval > 0:
+                    errval = (near + errval) // step
+                else:
+                    errval = -((near - errval) // step)
+                rx = pxp + sign * errval * step
+                if rx < -near:
+                    rx += wrap
+                elif rx > mv + near:
+                    rx -= wrap
+                rx = min(max(rx, 0), mv)
+            else:
+                rx = ix
+            errval = modrange(errval)
+            k = 0
+            while (N[q] << k) < A[q]:
+                k += 1
+            if near == 0 and k == 0 and 2 * B[q] <= -N[q]:
+                merr = 2 * errval + 1 if errval >= 0 else -2 * (errval + 1)
+            else:
+                merr = 2 * errval if errval >= 0 else -2 * errval - 1
+            _jls_golomb(w, merr, k, limit, qbpp)
+            B[q] += errval * step
+            A[q] += abs(errval)
+            if N[q] == reset:
+                A[q] >>= 1
+                B[q] = B[q] >> 1 if B[q] >= 0 else -((1 - B[q]) >> 1)
+                N[q] >>= 1
+            N[q] += 1
+            if B[q] <= -N[q]:
+                B[q] += N[q]
+                if Cb[q] > -128:
+                    Cb[q] -= 1
+                if B[q] <= -N[q]:
+                    B[q] = -N[q] + 1
+            elif B[q] > 0:
+                B[q] -= N[q]
+                if Cb[q] < 127:
+                    Cb[q] += 1
+                if B[q] > 0:
+                    B[q] = 0
+            cur[x + 1] = rx
+            x += 1
+        prev, cur = cur, prev
+    w.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof = seg(0xF7, struct.pack(">BHHB", precision, rows, cols, 1)
+              + bytes([1, 0x11, 0]))
+    lse = (seg(0xF8, bytes([1]) + struct.pack(">HHHHH", mv, t1, t2, t3, reset))
+           if emit_lse else b"")
+    sos = seg(0xDA, bytes([1, 1, 0x00, near, 0, 0]))
+    frame = b"\xff\xd8" + sof + lse + sos + bytes(w.out) + b"\xff\xd9"
+    if len(frame) % 2:
+        frame += b"\x00"  # DICOM items carry even byte counts
+    return frame
+
+
+def test_jls_lossless_roundtrip_16bit(tmp_path):
+    """JPEG-LS Lossless (1.2.840.10008.1.2.4.80) decodes bit-exact on a
+    mammogram-like image: smooth background (run + low-activity contexts)
+    with a noisy center (high-activity contexts)."""
+    rng = np.random.default_rng(40)
+    rows, cols, bits = 24, 19, 12
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    px = (80 * yy + 40 * xx).astype(np.uint16)  # smooth ramp
+    px[8:20, 5:15] = rng.integers(0, 2**bits, size=(12, 10), dtype=np.uint16)
+    p = tmp_path / "jls16.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, bits))
+    img, meta = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / (2**bits - 1), atol=1e-7)
+    assert meta.patient_id == "PATRLE" and meta.laterality == "R"
+
+
+def test_jls_lossless_roundtrip_8bit_alloc(tmp_path):
+    """8-bit precision stored in BitsAllocated 8 exercises the bps=1
+    output path."""
+    rng = np.random.default_rng(41)
+    rows, cols = 11, 17
+    px = rng.integers(0, 256, size=(rows, cols), dtype=np.uint16)
+    p = tmp_path / "jls8.dcm"
+    _write_encapsulated(p, rows, cols, 8, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, 8), bits_alloc=8)
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / 255.0, atol=1e-7)
+
+
+def test_jls_flat_image_pure_run_mode(tmp_path):
+    """A constant image is one maximal run per line — the run-segment code
+    order (J table) and end-of-line partial-segment rule carry the whole
+    stream."""
+    px = np.full((16, 300), 1234, dtype=np.uint16)
+    p = tmp_path / "jlsflat.dcm"
+    _write_encapsulated(p, 16, 300, 12, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, 12))
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / 4095.0, atol=1e-7)
+
+
+def test_jls_run_interruptions(tmp_path):
+    """Flat stretches broken by single spikes hit run interruption coding
+    (both RItype values) and the RUNindex up/down walk."""
+    rng = np.random.default_rng(42)
+    rows, cols = 13, 57
+    px = np.full((rows, cols), 500, dtype=np.uint16)
+    for y in range(rows):  # a few spikes per line at random positions
+        for xpos in rng.integers(1, cols, size=3):
+            px[y, xpos] = rng.integers(0, 4096)
+    p = tmp_path / "jlsruns.dcm"
+    _write_encapsulated(p, rows, cols, 12, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, 12))
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / 4095.0, atol=1e-7)
+
+
+def test_jls_near_lossless(tmp_path):
+    """JPEG-LS Near-Lossless (1.2.840.10008.1.2.4.81): every reconstructed
+    sample is within NEAR of the source, and the decode matches the
+    fixture encoder's own reconstruction exactly."""
+    rng = np.random.default_rng(43)
+    rows, cols, bits, near = 15, 21, 12, 3
+    px = rng.integers(0, 2**bits, size=(rows, cols), dtype=np.uint16)
+    px[:5] = 900  # a flat band to drive near-lossless run mode too
+    p = tmp_path / "jlsnear.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.81",
+                        _jls_frame(px, bits, near=near))
+    img, _ = read_dicom_native(p)
+    got = np.round(img * (2**bits - 1)).astype(np.int64)
+    assert np.abs(got - px.astype(np.int64)).max() <= near
+
+
+def test_jls_lse_preset_parameters(tmp_path):
+    """An LSE marker overriding MAXVAL/T1/T2/T3/RESET governs the decode
+    (T.87 C.2.4.1.1): wrong handling would desynchronize immediately."""
+    rng = np.random.default_rng(44)
+    rows, cols = 9, 14
+    px = rng.integers(0, 3001, size=(rows, cols), dtype=np.uint16)
+    p = tmp_path / "jlslse.dcm"
+    _write_encapsulated(
+        p, rows, cols, 12, b"1.2.840.10008.1.2.4.80",
+        _jls_frame(px, 12, maxval=3000, thresholds=(9, 30, 100), reset=31))
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / 4095.0, atol=1e-7)
+
+
+def test_jls_stream_split_across_fragments(tmp_path):
+    """JPEG-LS streams concatenate across encapsulated fragments exactly
+    like 10918 streams (PS3.5 A.4)."""
+    rng = np.random.default_rng(45)
+    rows, cols = 12, 12
+    px = rng.integers(0, 4096, size=(rows, cols), dtype=np.uint16)
+    frame = _jls_frame(px, 12)
+    cut = (len(frame) // 2) & ~1
+    a, b = frame[:cut], frame[cut:]
+    out = b"\x00" * 128 + b"DICM"
+    out += _el_explicit(0x0002, 0x0010, b"UI", b"1.2.840.10008.1.2.4.80")
+    out += _el_explicit(0x0028, 0x0010, b"US", struct.pack("<H", rows))
+    out += _el_explicit(0x0028, 0x0011, b"US", struct.pack("<H", cols))
+    out += _el_explicit(0x0028, 0x0100, b"US", struct.pack("<H", 16))
+    out += _el_explicit(0x0028, 0x0101, b"US", struct.pack("<H", 12))
+    out += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+    out += struct.pack("<I", 0xFFFFFFFF)
+    out += _item(b"") + _item(a) + _item(b)
+    out += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    p = tmp_path / "jlssplit.dcm"
+    p.write_bytes(out)
+    img, _ = read_dicom_native(p)
+    np.testing.assert_allclose(img, px / 4095.0, atol=1e-7)
+
+
+def test_jls_restart_intervals_refused_by_name(tmp_path):
+    """DRI inside a JPEG-LS stream is refused with a named error (CharLS —
+    pydicom's JPEG-LS backend — refuses these too), never mis-decoded."""
+    px = np.zeros((4, 4), np.uint16)
+    frame = bytearray(_jls_frame(px, 8))
+    dri = bytes([0xFF, 0xDD]) + struct.pack(">H", 4) + struct.pack(">H", 2)
+    i = frame.index(b"\xff\xda")
+    frame = bytes(frame[:i]) + dri + bytes(frame[i:])
+    p = tmp_path / "jlsdri.dcm"
+    _write_encapsulated(p, 4, 4, 8, b"1.2.840.10008.1.2.4.80", frame)
+    with pytest.raises(ValueError, match="restart"):
+        read_dicom_native(p)
+
+
+def test_jls_mutation_fuzz(tmp_path):
+    """Seeded byte-flip/truncation fuzz over the JPEG-LS container: corrupt
+    streams must raise ValueError in-process, never crash or hang."""
+    rng = np.random.default_rng(46)
+    rows, cols = 10, 11
+    px = rng.integers(0, 4096, size=(rows, cols), dtype=np.uint16)
+    px[:4] = 700
+    p = tmp_path / "jlsseed.dcm"
+    _write_encapsulated(p, rows, cols, 12, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, 12))
+    seed_bytes = p.read_bytes()
+    target = tmp_path / "fuzz.dcm"
+    for trial in range(150):
+        data = bytearray(seed_bytes)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(rng.integers(1, 5)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif kind == 1:
+            data = data[: rng.integers(1, len(data))]
+        else:
+            for _ in range(rng.integers(1, 9)):
+                data[rng.integers(len(data) // 2, len(data))] = (
+                    rng.integers(0, 256)
+                )
+        target.write_bytes(bytes(data))
+        try:
+            img, _ = read_dicom_native(target)
+            assert img.shape[0] >= 1
+        except ValueError:
+            pass
