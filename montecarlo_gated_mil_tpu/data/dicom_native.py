@@ -7,15 +7,17 @@ the compressed transfer syntaxes clinical mammography archives emit —
 RLE Lossless (1.2.840.10008.1.2.5 — PackBits byte planes, PS3.5 Annex G),
 JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70 — ISO 10918-1
 SOF3 Huffman predictive coding, any predictor 1-7, point transform,
-restart intervals, grayscale) and JPEG-LS (1.2.840.10008.1.2.4.80
-lossless / .81 near-lossless — ITU-T T.87 LOCO-I with run mode and LSE
-preset parameters, grayscale) — plus Deflated Explicit VR Little Endian
-(1.2.840.10008.1.2.1.99, raw-deflate dataset via zlib) and the PatientID /
-PatientAge / ImageLaterality / BitsStored fields, normalized by
-``2^BitsStored - 1`` exactly as the reference.  Remaining compressed
-syntaxes (lossy JPEG, JPEG 2000) raise with the offending
-TransferSyntaxUID named, so the gap vs pydicom's decoder coverage is
-diagnosable rather than silent.
+restart intervals, grayscale), lossy JPEG sequential DCT
+(1.2.840.10008.1.2.4.50 Baseline / .51 Extended — ISO 10918-1 SOF0/SOF1,
+8/12-bit, restart intervals, grayscale) and JPEG-LS
+(1.2.840.10008.1.2.4.80 lossless / .81 near-lossless — ITU-T T.87 LOCO-I
+with run mode and LSE preset parameters, grayscale) — plus Deflated
+Explicit VR Little Endian (1.2.840.10008.1.2.1.99, raw-deflate dataset
+via zlib) and the PatientID / PatientAge / ImageLaterality / BitsStored
+fields, normalized by ``2^BitsStored - 1`` exactly as the reference.
+Remaining compressed syntaxes (JPEG 2000, progressive JPEG) raise with
+the offending TransferSyntaxUID or SOF named, so the gap vs pydicom's
+decoder coverage is diagnosable rather than silent.
 
 The shared library builds lazily with g++ on first use and is cached next to
 the source.  ``read_dicom_native`` mirrors ``data.dicom.read_dicom``'s return

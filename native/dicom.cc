@@ -7,10 +7,12 @@
 // this pipeline use — plus the compressed transfer syntaxes clinical
 // archives actually emit: RLE Lossless (1.2.840.10008.1.2.5, PS3.5 Annex
 // G), JPEG Lossless process 14 (1.2.840.10008.1.2.4.57/.70, ISO 10918-1
-// SOF3, grayscale), JPEG-LS (1.2.840.10008.1.2.4.80 lossless / .81
-// near-lossless, ITU-T T.87 LOCO-I, grayscale), and Deflated Explicit VR
-// LE (1.2.840.10008.1.2.1.99, PS3.5 A.5, via zlib).  Remaining syntaxes
-// (lossy JPEG, JPEG 2000, big-endian) fail with an error NAMING the UID
+// SOF3, grayscale), lossy JPEG sequential DCT (1.2.840.10008.1.2.4.50
+// Baseline / .51 Extended 12-bit, ISO 10918-1 SOF0/SOF1, grayscale),
+// JPEG-LS (1.2.840.10008.1.2.4.80 lossless / .81 near-lossless, ITU-T
+// T.87 LOCO-I, grayscale), and Deflated Explicit VR LE
+// (1.2.840.10008.1.2.1.99, PS3.5 A.5, via zlib).  Remaining syntaxes
+// (JPEG 2000, big-endian) fail with an error NAMING the UID
 // so the gap is diagnosable (pydicom would decode those,
 // /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
 // the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
@@ -20,6 +22,7 @@
 // The Python wrapper (montecarlo_gated_mil_tpu/data/dicom_native.py) builds
 // this lazily if the shared object is missing.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -275,8 +278,11 @@ struct HuffTable {
 };
 
 // Canonical table per ISO 10918-1 C.2 (DECODE procedure tables F.15/F.16).
+// `max_val` bounds the symbol alphabet: 16 for lossless/DC SSSS categories
+// (anything larger would drive undefined-behavior shifts in read_diff),
+// 255 for sequential-DCT AC run/size bytes.
 bool build_huff(const uint8_t counts[16], const uint8_t* values,
-                size_t nvals, HuffTable* t) {
+                size_t nvals, HuffTable* t, uint8_t max_val = 16) {
   if (nvals > 256) return false;
   // VALIDATE before touching any table state: an oversubscribed DHT must
   // fail here, not mid-LUT-fill — the fill indexes lut_sym[code << (8-l)],
@@ -291,9 +297,7 @@ bool build_huff(const uint8_t counts[16], const uint8_t* values,
     }
   }
   for (size_t i = 0; i < nvals; ++i) {
-    if (values[i] > 16) return false;  // SSSS categories are 0..16:
-    // anything larger would later drive undefined-behavior shifts in
-    // read_diff/BitReader::get and decode silent garbage.
+    if (values[i] > max_val) return false;
   }
   memcpy(t->vals, values, nvals);
   memset(t->lut_len, 0, sizeof(t->lut_len));
@@ -663,6 +667,312 @@ bool jpeg_lossless_decode(const uint8_t* data, size_t len, uint8_t* out,
   }
   snprintf(err, err_cap, have_sof ? "JPEG stream ended before SOS"
                                   : "JPEG stream holds no SOF3 frame");
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG sequential DCT (ISO/IEC 10918-1 baseline process 1 and extended
+// process 2&4; DICOM transfer syntaxes 1.2.840.10008.1.2.4.50 "JPEG
+// Baseline" and .51 "JPEG Extended" — PS3.5 A.4.1).  Scope: Huffman-coded
+// single-component (grayscale) SOF0/SOF1 scans, 8- or 12-bit precision,
+// restart intervals — the lossy presentation encodings mammography
+// archives emit.  Progressive (SOF2) and arithmetic-coded variants are
+// refused by name.  Shares the 10918 BitReader (0xFF00 un-stuffing),
+// canonical Huffman tables, and EXTEND (read_diff) with the lossless
+// process-14 decoder above.
+
+const uint8_t kZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// Separable double-precision 2-D inverse DCT (ISO A.3.3).  Accuracy over
+// speed: ~300k blocks for a full mammogram is milliseconds either way.
+void idct8x8(const double in[64], double out[64]) {
+  static double c[8][8];
+  static bool init = false;
+  if (!init) {
+    for (int u = 0; u < 8; ++u) {
+      double alpha = u == 0 ? 0.353553390593273762 : 0.5;  // sqrt(1/8), 1/2
+      for (int x = 0; x < 8; ++x) {
+        c[u][x] = alpha * cos((2 * x + 1) * u * 3.14159265358979323846 / 16);
+      }
+    }
+    init = true;
+  }
+  double tmp[64];
+  for (int i = 0; i < 8; ++i) {      // rows: tmp = in * C (sum over v)
+    for (int x = 0; x < 8; ++x) {
+      double s = 0;
+      for (int v = 0; v < 8; ++v) s += in[i * 8 + v] * c[v][x];
+      tmp[i * 8 + x] = s;
+    }
+  }
+  for (int x = 0; x < 8; ++x) {      // cols: out = C^T * tmp (sum over u)
+    for (int y = 0; y < 8; ++y) {
+      double s = 0;
+      for (int u = 0; u < 8; ++u) s += tmp[u * 8 + x] * c[u][y];
+      out[y * 8 + x] = s;
+    }
+  }
+}
+
+bool jpeg_dct_decode(const uint8_t* data, size_t len, uint8_t* out,
+                     uint32_t rows, uint32_t cols, uint32_t bps, char* err,
+                     size_t err_cap) {
+  size_t off = 0;
+  while (off + 1 < len && !(data[off] == 0xFF && data[off + 1] == 0xD8)) ++off;
+  if (off + 1 >= len) {
+    snprintf(err, err_cap, "JPEG stream has no SOI marker");
+    return false;
+  }
+  off += 2;
+
+  HuffTable dc_tables[4], ac_tables[4];
+  uint16_t qt[4][64];
+  bool qt_present[4] = {false, false, false, false};
+  int precision = 0, comp_tq = 0;
+  uint32_t ri = 0;
+  bool have_sof = false;
+
+  while (off + 1 < len) {
+    if (data[off] != 0xFF) {
+      snprintf(err, err_cap, "JPEG marker expected at offset %zu", off);
+      return false;
+    }
+    while (off < len && data[off] == 0xFF) ++off;
+    if (off >= len) break;
+    uint8_t m = data[off++];
+    if (m == 0xD9) break;
+    if (off + 1 >= len) break;
+    size_t seg_len = (static_cast<size_t>(data[off]) << 8) | data[off + 1];
+    if (seg_len < 2 || off + seg_len > len) {
+      snprintf(err, err_cap, "JPEG segment FF%02X overruns the stream", m);
+      return false;
+    }
+    const uint8_t* seg = data + off + 2;
+    size_t body = seg_len - 2;
+    off += seg_len;
+
+    if (m == 0xDB) {  // DQT: one or more tables
+      size_t i = 0;
+      while (i < body) {
+        uint8_t pq = seg[i] >> 4, tq = seg[i] & 0x0F;
+        size_t esz = pq ? 2 : 1;
+        if (tq > 3 || pq > 1 || i + 1 + 64 * esz > body) {
+          snprintf(err, err_cap, "JPEG DQT segment malformed");
+          return false;
+        }
+        for (int kq = 0; kq < 64; ++kq) {
+          uint16_t v = pq ? ((seg[i + 1 + 2 * kq] << 8) | seg[i + 2 + 2 * kq])
+                          : seg[i + 1 + kq];
+          if (v == 0) {
+            snprintf(err, err_cap, "JPEG DQT holds a zero quantizer");
+            return false;
+          }
+          qt[tq][kq] = v;  // zigzag order, matching the coefficient stream
+        }
+        qt_present[tq] = true;
+        i += 1 + 64 * esz;
+      }
+    } else if (m == 0xC4) {  // DHT: DC (tc 0) and AC (tc 1) tables
+      size_t i = 0;
+      while (i + 17 <= body) {
+        uint8_t tc = seg[i] >> 4, th = seg[i] & 0x0F;
+        const uint8_t* counts = seg + i + 1;
+        size_t nv = 0;
+        for (int l = 0; l < 16; ++l) nv += counts[l];
+        if (i + 17 + nv > body || th > 3 || tc > 1) {
+          snprintf(err, err_cap, "JPEG DHT segment malformed");
+          return false;
+        }
+        HuffTable* t = tc ? &ac_tables[th] : &dc_tables[th];
+        if (!build_huff(counts, seg + i + 17, nv, t, tc ? 255 : 16)) {
+          snprintf(err, err_cap, "JPEG Huffman table %u invalid", th);
+          return false;
+        }
+        i += 17 + nv;
+      }
+    } else if (m == 0xC0 || m == 0xC1) {  // SOF0 baseline / SOF1 extended
+      if (body < 9) {
+        snprintf(err, err_cap, "JPEG SOF segment too short");
+        return false;
+      }
+      precision = seg[0];
+      uint32_t y = (seg[1] << 8) | seg[2];
+      uint32_t x = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) {
+        snprintf(err, err_cap,
+                 "JPEG DCT with %u components unsupported (grayscale "
+                 "mammography expects 1)",
+                 seg[5]);
+        return false;
+      }
+      if (y != rows || x != cols) {
+        snprintf(err, err_cap,
+                 "JPEG frame %ux%u disagrees with Rows/Columns %ux%u", y, x,
+                 rows, cols);
+        return false;
+      }
+      if (seg[7] != 0x11) {
+        snprintf(err, err_cap, "JPEG subsampling %02X unsupported", seg[7]);
+        return false;
+      }
+      comp_tq = seg[8];
+      if (comp_tq > 3) {
+        snprintf(err, err_cap, "JPEG component references DQT %d", comp_tq);
+        return false;
+      }
+      if (!((m == 0xC0 && precision == 8) ||
+            (m == 0xC1 && (precision == 8 || precision == 12)))) {
+        snprintf(err, err_cap, "JPEG SOF%d precision %d unsupported",
+                 m - 0xC0, precision);
+        return false;
+      }
+      if (precision > 8 && bps < 2) {
+        snprintf(err, err_cap,
+                 "JPEG precision %d incompatible with BitsAllocated %u",
+                 precision, bps * 8);
+        return false;
+      }
+      have_sof = true;
+    } else if ((m >= 0xC2 && m <= 0xCF) && m != 0xC4 && m != 0xC8) {
+      snprintf(err, err_cap,
+               "JPEG SOF%d unsupported (only sequential-DCT SOF0/SOF1 under "
+               "this transfer syntax)",
+               m - 0xC0);
+      return false;
+    } else if (m == 0xDD) {  // DRI (in MCUs = blocks for grayscale)
+      if (body < 2) {
+        snprintf(err, err_cap, "JPEG DRI segment too short");
+        return false;
+      }
+      ri = (seg[0] << 8) | seg[1];
+    } else if (m == 0xDA) {  // SOS
+      if (!have_sof) {
+        snprintf(err, err_cap, "JPEG SOS before SOF");
+        return false;
+      }
+      if (body < 6 || seg[0] != 1) {
+        snprintf(err, err_cap, "JPEG scan must hold exactly 1 component");
+        return false;
+      }
+      int td = seg[2] >> 4, ta = seg[2] & 0x0F;
+      if (seg[3] != 0 || seg[4] != 63 || seg[5] != 0) {
+        snprintf(err, err_cap,
+                 "JPEG scan is not full-band sequential (Ss=%u Se=%u "
+                 "AhAl=%02X): progressive streams are unsupported",
+                 seg[3], seg[4], seg[5]);
+        return false;
+      }
+      if (td > 3 || ta > 3 || !dc_tables[td].present ||
+          !ac_tables[ta].present) {
+        snprintf(err, err_cap, "JPEG scan references missing Huffman table");
+        return false;
+      }
+      if (!qt_present[comp_tq]) {
+        snprintf(err, err_cap, "JPEG scan references missing DQT %d",
+                 comp_tq);
+        return false;
+      }
+      const HuffTable& dct = dc_tables[td];
+      const HuffTable& act = ac_tables[ta];
+      const uint16_t* q = qt[comp_tq];
+      const int32_t level = 1 << (precision - 1);
+      const int32_t maxval = (1 << precision) - 1;
+      const uint32_t bw = (cols + 7) / 8, bh = (rows + 7) / 8;
+      BitReader br{data + off, len - off};
+      int32_t pred = 0;
+      uint32_t since_restart = 0;
+      for (uint32_t by = 0; by < bh; ++by) {
+        for (uint32_t bx = 0; bx < bw; ++bx) {
+          if (ri && since_restart == ri) {
+            if (br.overran()) {
+              snprintf(err, err_cap, "JPEG entropy data truncated");
+              return false;
+            }
+            br.reset_to_stream();
+            size_t mo = br.off;
+            while (mo + 1 < br.n && br.p[mo] == 0xFF && br.p[mo + 1] == 0xFF)
+              ++mo;
+            if (mo + 1 >= br.n || br.p[mo] != 0xFF || br.p[mo + 1] < 0xD0 ||
+                br.p[mo + 1] > 0xD7) {
+              snprintf(err, err_cap, "JPEG restart marker missing");
+              return false;
+            }
+            br.off = mo + 2;
+            since_restart = 0;
+            pred = 0;
+          }
+          double coef[64] = {0};
+          int t = decode_symbol(&br, dct);
+          if (t < 0 || t > 15) {
+            snprintf(err, err_cap, "JPEG entropy data corrupt in block "
+                                   "(%u,%u)", by, bx);
+            return false;
+          }
+          pred += t ? read_diff(&br, t) : 0;
+          coef[0] = static_cast<double>(pred) * q[0];
+          int kz = 1;
+          while (kz < 64) {
+            int rs = decode_symbol(&br, act);
+            if (rs < 0) {
+              snprintf(err, err_cap, "JPEG entropy data corrupt in block "
+                                     "(%u,%u)", by, bx);
+              return false;
+            }
+            int r = rs >> 4, s = rs & 15;
+            if (s == 0) {
+              if (r == 15) {  // ZRL: 16 zeros
+                kz += 16;
+                continue;
+              }
+              break;  // EOB
+            }
+            kz += r;
+            if (kz > 63) {
+              snprintf(err, err_cap, "JPEG AC run overflows the block");
+              return false;
+            }
+            coef[kZigzag[kz]] =
+                static_cast<double>(read_diff(&br, s)) * q[kz];
+            ++kz;
+          }
+          if (br.overran()) {
+            snprintf(err, err_cap, "JPEG entropy data truncated");
+            return false;
+          }
+          double samp[64];
+          idct8x8(coef, samp);
+          uint32_t ylim = rows - by * 8 < 8 ? rows - by * 8 : 8;
+          uint32_t xlim = cols - bx * 8 < 8 ? cols - bx * 8 : 8;
+          for (uint32_t yy = 0; yy < ylim; ++yy) {
+            uint8_t* row_out =
+                out + (static_cast<size_t>(by * 8 + yy) * cols + bx * 8) * bps;
+            for (uint32_t xx = 0; xx < xlim; ++xx) {
+              int32_t v =
+                  static_cast<int32_t>(lround(samp[yy * 8 + xx])) + level;
+              if (v < 0) v = 0;
+              else if (v > maxval) v = maxval;
+              row_out[xx * bps] = static_cast<uint8_t>(v & 0xFF);
+              if (bps == 2)
+                row_out[xx * bps + 1] = static_cast<uint8_t>(v >> 8);
+            }
+          }
+          ++since_restart;
+        }
+      }
+      if (br.overran()) {
+        snprintf(err, err_cap, "JPEG entropy data truncated");
+        return false;
+      }
+      return true;
+    }
+    // APPn / COM / anything else with a length: skipped.
+  }
+  snprintf(err, err_cap, have_sof ? "JPEG stream ended before SOS"
+                                  : "JPEG stream holds no SOF0/SOF1 frame");
   return false;
 }
 
@@ -1342,11 +1652,15 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
         const bool is_jls =
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.80") == 0 ||
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.81") == 0;
-        if (!is_rle && !is_jpegll && !is_jls) {
+        const bool is_jdct =
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.50") == 0 ||
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.51") == 0;
+        if (!is_rle && !is_jpegll && !is_jls && !is_jdct) {
           snprintf(result->error, sizeof(result->error),
                    "encapsulated pixel data in unsupported transfer syntax "
                    "%s (%s); supported: uncompressed little-endian, RLE "
-                   "Lossless, JPEG Lossless process 14, JPEG-LS",
+                   "Lossless, JPEG (baseline, extended, lossless 14), "
+                   "JPEG-LS",
                    result->transfer_syntax[0] ? result->transfer_syntax
                                               : "(missing 0002,0010)",
                    syntax_name(result->transfer_syntax));
@@ -1377,7 +1691,8 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
                      "malformed encapsulated pixel-data item");
             return 4;
           }
-          if (item_index++ > 0 && (is_jpegll || is_jls || stream.empty())) {
+          if (item_index++ > 0 &&
+              (is_jpegll || is_jls || is_jdct || stream.empty())) {
             stream.insert(stream.end(), c.p + c.off, c.p + c.off + l2);
           }
           c.off += l2;
@@ -1401,6 +1716,10 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
           ok = jpeg_ls_decode(stream.data(), stream.size(), result->pixels,
                               result->rows, result->cols, bps, err,
                               sizeof(err));
+        } else if (is_jdct) {
+          ok = jpeg_dct_decode(stream.data(), stream.size(), result->pixels,
+                               result->rows, result->cols, bps, err,
+                               sizeof(err));
         } else {
           ok = jpeg_lossless_decode(stream.data(), stream.size(),
                                     result->pixels, result->rows,

@@ -1038,3 +1038,225 @@ def test_jls_mutation_fuzz(tmp_path):
             assert img.shape[0] >= 1
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# JPEG sequential DCT (1.2.840.10008.1.2.4.50 Baseline / .51 Extended).
+# Independent encoder fixture: float FDCT + quantization + canonical
+# Huffman with a flat 9-bit code alphabet (any valid DHT is legal), so the
+# decoder's table building, RLE/EOB/ZRL handling, EXTEND, dequant and IDCT
+# are all exercised against a second implementation of the spec.
+
+_ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+       12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+       58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+
+def _dct_basis():
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(1 / 8) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+def _flat_table(values):
+    """DHT payload giving every symbol a canonical 9-bit code."""
+    counts = [0] * 16
+    counts[8] = len(values)  # all codes at length 9
+    return bytes(counts), bytes(values), {v: (i, 9) for i, v in enumerate(values)}
+
+
+def _dct_frame(px, bits, qscale=1.0, restart=0, force_sof1=False):
+    """Encode grayscale `px` as a sequential-DCT JPEG; returns
+    (stream bytes, the fixture's own reconstruction — what a conforming
+    decoder must reproduce to within IDCT rounding)."""
+    rows, cols = px.shape
+    level = 1 << (bits - 1)
+    maxval = (1 << bits) - 1
+    qtab = np.maximum(1, np.round((8 + np.arange(64)) * qscale)).astype(int)
+    cb = _dct_basis()
+    bh, bw = -(-rows // 8), -(-cols // 8)
+    padded = np.pad(px.astype(np.float64), ((0, bh * 8 - rows), (0, bw * 8 - cols)),
+                    mode="edge") - level
+    coefs = np.zeros((bh, bw, 64), np.int64)  # zigzag order, quantized
+    recon = np.zeros((bh * 8, bw * 8))
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            f = cb @ blk @ cb.T
+            deq = np.zeros((8, 8))
+            for k in range(64):
+                z = _ZZ[k]
+                qc = int(np.round(f.flat[z] / qtab[k]))
+                coefs[by, bx, k] = qc
+                deq.flat[z] = qc * qtab[k]
+            recon[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = cb.T @ deq @ cb
+    expected = np.clip(np.round(recon[:rows, :cols]) + level, 0, maxval)
+
+    dc_counts, dc_vals, dc_code = _flat_table(list(range(16)))
+    ac_syms = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 16)]
+    ac_syms.append(0xF0)
+    ac_counts, ac_vals, ac_code = _flat_table(ac_syms)
+    w = _BitWriter()
+    pred, since, rst = 0, 0, 0
+
+    def put_sym(code_map, sym):
+        c, ln = code_map[sym]
+        w.put(c, ln)
+
+    def put_extend(v, s):
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and since == restart:
+                w.align()
+                w.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                since = 0
+                pred = 0
+            qc = coefs[by, bx]
+            diff = int(qc[0]) - pred
+            pred = int(qc[0])
+            t = abs(diff).bit_length()
+            put_sym(dc_code, t)
+            if t:
+                put_extend(diff, t)
+            k = 1
+            while k < 64:
+                j = k
+                while j < 64 and qc[j] == 0:
+                    j += 1
+                if j == 64:
+                    put_sym(ac_code, 0x00)  # EOB
+                    break
+                r = j - k
+                while r >= 16:
+                    put_sym(ac_code, 0xF0)  # ZRL
+                    r -= 16
+                v = int(qc[j])
+                s = abs(v).bit_length()
+                put_sym(ac_code, (r << 4) | s)
+                put_extend(v, s)
+                k = j + 1
+            since += 1
+    w.align()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    pq = 1 if qtab.max() > 255 or bits == 12 else 0
+    qbody = bytes([pq << 4]) + (
+        b"".join(struct.pack(">H", int(v)) for v in qtab) if pq
+        else bytes(int(v) for v in qtab))
+    sof_marker = 0xC1 if (bits == 12 or force_sof1) else 0xC0
+    out = b"\xff\xd8"
+    out += seg(0xDB, qbody)
+    out += seg(sof_marker,
+               struct.pack(">BHHB", bits, rows, cols, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + dc_counts + dc_vals)
+    out += seg(0xC4, bytes([0x11]) + ac_counts + ac_vals)
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    out += seg(0xDA, bytes([1, 1, 0x01, 0, 63, 0]))
+    out += bytes(w.out) + b"\xff\xd9"
+    if len(out) % 2:
+        out += b"\x00"
+    return out, expected.astype(np.int64)
+
+
+def test_jpeg_baseline_8bit(tmp_path):
+    """JPEG Baseline (1.2.840.10008.1.2.4.50): the decode matches the
+    fixture's own dequant+IDCT reconstruction to within rounding (+-1)."""
+    rng = np.random.default_rng(50)
+    rows, cols = 21, 26
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    px = np.clip(120 + 60 * np.sin(yy / 3) + 50 * np.cos(xx / 4)
+                 + rng.normal(0, 10, (rows, cols)), 0, 255).astype(np.uint16)
+    frame, expected = _dct_frame(px, 8)
+    p = tmp_path / "jbase.dcm"
+    _write_encapsulated(p, rows, cols, 8, b"1.2.840.10008.1.2.4.50", frame,
+                        bits_alloc=8)
+    img, _ = read_dicom_native(p)
+    got = np.round(img * 255).astype(np.int64)
+    assert np.abs(got - expected).max() <= 1
+    # and the lossy error vs the source is bounded by the quantizers
+    assert np.abs(got - px.astype(np.int64)).mean() < 12
+
+
+def test_jpeg_extended_12bit_with_restarts(tmp_path):
+    """JPEG Extended (1.2.840.10008.1.2.4.51, SOF1, 12-bit, 16-bit DQT,
+    restart intervals) — the mammography presentation encoding."""
+    rng = np.random.default_rng(51)
+    rows, cols = 19, 22
+    yy, xx = np.mgrid[0:rows, 0:cols]
+    px = np.clip(2000 + 900 * np.sin(yy / 2.5) + 800 * np.cos(xx / 3.5)
+                 + rng.normal(0, 60, (rows, cols)), 0, 4095).astype(np.uint16)
+    frame, expected = _dct_frame(px, 12, qscale=2.0, restart=2)
+    p = tmp_path / "jext.dcm"
+    _write_encapsulated(p, rows, cols, 12, b"1.2.840.10008.1.2.4.51", frame)
+    img, _ = read_dicom_native(p)
+    got = np.round(img * 4095).astype(np.int64)
+    assert np.abs(got - expected).max() <= 1
+
+
+def test_jpeg_extended_8bit_sof1(tmp_path):
+    """Process 2 proper: 8-bit data in an SOF1 frame under .4.51."""
+    rng = np.random.default_rng(52)
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint16)
+    frame, expected = _dct_frame(px, 8, force_sof1=True)
+    p = tmp_path / "jext8.dcm"
+    _write_encapsulated(p, 8, 8, 8, b"1.2.840.10008.1.2.4.51", frame,
+                        bits_alloc=8)
+    img, _ = read_dicom_native(p)
+    got = np.round(img * 255).astype(np.int64)
+    assert np.abs(got - expected).max() <= 1
+
+
+def test_jpeg_progressive_refused_by_name(tmp_path):
+    """SOF2 (progressive) under a DCT transfer syntax is refused naming the
+    frame type, never mis-decoded."""
+    px = np.full((8, 8), 77, np.uint16)
+    frame, _ = _dct_frame(px, 8)
+    frame = bytearray(frame)
+    i = frame.index(b"\xff\xc0")
+    frame[i + 1] = 0xC2
+    p = tmp_path / "jprog.dcm"
+    _write_encapsulated(p, 8, 8, 8, b"1.2.840.10008.1.2.4.50", bytes(frame),
+                        bits_alloc=8)
+    with pytest.raises(ValueError, match="SOF2"):
+        read_dicom_native(p)
+
+
+def test_jpeg_dct_mutation_fuzz(tmp_path):
+    """Mutation fuzz over the sequential-DCT container: corrupt streams
+    raise ValueError in-process, never crash or hang."""
+    rng = np.random.default_rng(53)
+    px = rng.integers(0, 4096, size=(17, 13), dtype=np.uint16)
+    frame, _ = _dct_frame(px, 12, restart=3)
+    p = tmp_path / "jdctseed.dcm"
+    _write_encapsulated(p, 17, 13, 12, b"1.2.840.10008.1.2.4.51", frame)
+    seed_bytes = p.read_bytes()
+    target = tmp_path / "fuzz.dcm"
+    for trial in range(150):
+        data = bytearray(seed_bytes)
+        kind = trial % 3
+        if kind == 0:
+            for _ in range(rng.integers(1, 5)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif kind == 1:
+            data = data[: rng.integers(1, len(data))]
+        else:
+            for _ in range(rng.integers(1, 9)):
+                data[rng.integers(len(data) // 2, len(data))] = (
+                    rng.integers(0, 256)
+                )
+        target.write_bytes(bytes(data))
+        try:
+            img, _ = read_dicom_native(target)
+            assert img.shape[0] >= 1
+        except ValueError:
+            pass
