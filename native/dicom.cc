@@ -883,7 +883,9 @@ bool jpeg_dct_decode(const uint8_t* data, size_t len, uint8_t* out,
       const int32_t maxval = (1 << precision) - 1;
       const uint32_t bw = (cols + 7) / 8, bh = (rows + 7) / 8;
       BitReader br{data + off, len - off};
-      int32_t pred = 0;
+      // 64-bit: a corrupt stream can walk the DC predictor past int32
+      // over a large frame's block count before any decode error fires.
+      int64_t pred = 0;
       uint32_t since_restart = 0;
       for (uint32_t by = 0; by < bh; ++by) {
         for (uint32_t bx = 0; bx < bw; ++bx) {
@@ -951,10 +953,13 @@ bool jpeg_dct_decode(const uint8_t* data, size_t len, uint8_t* out,
             uint8_t* row_out =
                 out + (static_cast<size_t>(by * 8 + yy) * cols + bx * 8) * bps;
             for (uint32_t xx = 0; xx < xlim; ++xx) {
-              int32_t v =
-                  static_cast<int32_t>(lround(samp[yy * 8 + xx])) + level;
-              if (v < 0) v = 0;
-              else if (v > maxval) v = maxval;
+              // Clamp in double BEFORE the integer conversion: corrupt
+              // coefficients can push the IDCT output past int32.
+              double dv = samp[yy * 8 + xx] + level;
+              int32_t v;
+              if (dv <= 0) v = 0;
+              else if (dv >= maxval) v = maxval;
+              else v = static_cast<int32_t>(lround(dv));
               row_out[xx * bps] = static_cast<uint8_t>(v & 0xFF);
               if (bps == 2)
                 row_out[xx * bps + 1] = static_cast<uint8_t>(v >> 8);
@@ -1115,9 +1120,9 @@ inline int32_t jls_golomb_decode(JlsBitReader* br, int k, int limit, int qbpp,
 // Smallest k with (n << k) >= a (the Golomb parameter, A.5.1) — the bit-
 // length difference is exact or one short, so at most one correction.
 inline int jls_k(int64_t n, int64_t a) {
+  if (a <= n) return 0;  // also guards clz(0): A can decay to 0 by halving
   int k = __builtin_clzll(static_cast<uint64_t>(n)) -
           __builtin_clzll(static_cast<uint64_t>(a));
-  if (k < 0) k = 0;
   if ((n << k) < a) ++k;
   return k;
 }
