@@ -689,18 +689,24 @@ const uint8_t kZigzag[64] = {
 
 // Separable double-precision 2-D inverse DCT (ISO A.3.3).  Accuracy over
 // speed: ~300k blocks for a full mammogram is milliseconds either way.
-void idct8x8(const double in[64], double out[64]) {
-  static double c[8][8];
-  static bool init = false;
-  if (!init) {
+struct IdctBasis {
+  double c[8][8];
+  IdctBasis() {
     for (int u = 0; u < 8; ++u) {
       double alpha = u == 0 ? 0.353553390593273762 : 0.5;  // sqrt(1/8), 1/2
       for (int x = 0; x < 8; ++x) {
         c[u][x] = alpha * cos((2 * x + 1) * u * 3.14159265358979323846 / 16);
       }
     }
-    init = true;
   }
+};
+
+void idct8x8(const double in[64], double out[64]) {
+  // C++11 magic static: the loader decodes frames concurrently (GIL released
+  // in the ctypes call), so initialization must be thread-safe — a hand-rolled
+  // `static bool init` guard is a data race and can expose a half-built table.
+  static const IdctBasis basis;
+  const auto& c = basis.c;
   double tmp[64];
   for (int i = 0; i < 8; ++i) {      // rows: tmp = in * C (sum over v)
     for (int x = 0; x < 8; ++x) {
@@ -1365,9 +1371,13 @@ bool jls_decode_scan(JlsBitReader& br, const JlsParams& pr, uint32_t rows,
   return true;
 }
 
+// `require_lossless` is set when the DICOM transfer syntax is
+// 1.2.840.10008.1.2.4.80 (JPEG-LS Lossless): PS3.5 A.4.3 requires NEAR=0
+// there, so a scan carrying NEAR>0 is a mislabeled lossy file and must be
+// rejected by name rather than silently decoded as if it were exact.
 bool jpeg_ls_decode(const uint8_t* data, size_t len, uint8_t* out,
-                    uint32_t rows, uint32_t cols, uint32_t bps, char* err,
-                    size_t err_cap) {
+                    uint32_t rows, uint32_t cols, uint32_t bps,
+                    bool require_lossless, char* err, size_t err_cap) {
   size_t off = 0;
   while (off + 1 < len && !(data[off] == 0xFF && data[off + 1] == 0xD8)) ++off;
   if (off + 1 >= len) {
@@ -1491,6 +1501,13 @@ bool jpeg_ls_decode(const uint8_t* data, size_t len, uint8_t* out,
         return false;
       }
       pr.near_ = seg[3];
+      if (require_lossless && pr.near_ != 0) {
+        snprintf(err, err_cap,
+                 "JPEG-LS NEAR=%d under the Lossless transfer syntax "
+                 "(1.2.840.10008.1.2.4.80 requires NEAR=0; relabel as .81)",
+                 pr.near_);
+        return false;
+      }
       if (seg[4] != 0) {
         snprintf(err, err_cap,
                  "JPEG-LS interleave mode %u unsupported for 1 component",
@@ -1718,9 +1735,11 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
           ok = rle_decode_frame(stream.data(), stream.size(), result->pixels,
                                 npix, bps, err, sizeof(err));
         } else if (is_jls) {
+          const bool jls_lossless_uid =
+              strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.80") == 0;
           ok = jpeg_ls_decode(stream.data(), stream.size(), result->pixels,
-                              result->rows, result->cols, bps, err,
-                              sizeof(err));
+                              result->rows, result->cols, bps,
+                              jls_lossless_uid, err, sizeof(err));
         } else if (is_jdct) {
           ok = jpeg_dct_decode(stream.data(), stream.size(), result->pixels,
                                result->rows, result->cols, bps, err,

@@ -954,6 +954,28 @@ def test_jls_near_lossless(tmp_path):
     assert np.abs(got - px.astype(np.int64)).max() <= near
 
 
+def test_jls_near_under_lossless_uid_rejected(tmp_path):
+    """A scan carrying NEAR>0 under the Lossless transfer syntax
+    (1.2.840.10008.1.2.4.80) is a mislabeled lossy file: PS3.5 A.4.3
+    requires NEAR=0 there, so the decoder must refuse it by name instead
+    of silently returning approximate pixels."""
+    rng = np.random.default_rng(46)
+    rows, cols, bits = 9, 12, 12
+    px = rng.integers(0, 2**bits, size=(rows, cols), dtype=np.uint16)
+    p = tmp_path / "jlsmislabeled.dcm"
+    _write_encapsulated(p, rows, cols, bits, b"1.2.840.10008.1.2.4.80",
+                        _jls_frame(px, bits, near=2))
+    with pytest.raises(ValueError, match="NEAR=2 under the Lossless"):
+        read_dicom_native(p)
+    # The identical frame is legal (and decodable) under .4.81.
+    p81 = tmp_path / "jlsrelabel.dcm"
+    _write_encapsulated(p81, rows, cols, bits, b"1.2.840.10008.1.2.4.81",
+                        _jls_frame(px, bits, near=2))
+    img, _ = read_dicom_native(p81)
+    got = np.round(img * (2**bits - 1)).astype(np.int64)
+    assert np.abs(got - px.astype(np.int64)).max() <= 2
+
+
 def test_jls_lse_preset_parameters(tmp_path):
     """An LSE marker overriding MAXVAL/T1/T2/T3/RESET governs the decode
     (T.87 C.2.4.1.1): wrong handling would desynchronize immediately."""
