@@ -11,13 +11,16 @@ restart intervals, grayscale), lossy JPEG sequential DCT
 (1.2.840.10008.1.2.4.50 Baseline / .51 Extended — ISO 10918-1 SOF0/SOF1,
 8/12-bit, restart intervals, grayscale) and JPEG-LS
 (1.2.840.10008.1.2.4.80 lossless / .81 near-lossless — ITU-T T.87 LOCO-I
-with run mode and LSE preset parameters, grayscale) — plus Deflated
-Explicit VR Little Endian (1.2.840.10008.1.2.1.99, raw-deflate dataset
-via zlib) and the PatientID / PatientAge / ImageLaterality / BitsStored
-fields, normalized by ``2^BitsStored - 1`` exactly as the reference.
-Remaining compressed syntaxes (JPEG 2000, progressive JPEG) raise with
-the offending TransferSyntaxUID or SOF named, so the gap vs pydicom's
-decoder coverage is diagnosable rather than silent.
+with run mode and LSE preset parameters, grayscale), JPEG 2000 Part 1
+(1.2.840.10008.1.2.4.90/.91 — ISO 15444-1 / ITU-T T.800 reversible 5/3,
+raw codestreams and JP2-wrapped, tiles, all progression orders, quality
+layers, grayscale) — plus Deflated Explicit VR Little Endian
+(1.2.840.10008.1.2.1.99, raw-deflate dataset via zlib) and the
+PatientID / PatientAge / ImageLaterality / BitsStored fields, normalized
+by ``2^BitsStored - 1`` exactly as the reference.  Remaining compressed
+syntaxes (HTJ2K, progressive JPEG, irreversible 9/7 J2K) raise with the
+offending TransferSyntaxUID, SOF, or wavelet named, so the gap vs
+pydicom's decoder coverage is diagnosable rather than silent.
 
 The shared library builds lazily with g++ on first use and is cached next to
 the source.  ``read_dicom_native`` mirrors ``data.dicom.read_dicom``'s return

@@ -10,9 +10,11 @@
 // SOF3, grayscale), lossy JPEG sequential DCT (1.2.840.10008.1.2.4.50
 // Baseline / .51 Extended 12-bit, ISO 10918-1 SOF0/SOF1, grayscale),
 // JPEG-LS (1.2.840.10008.1.2.4.80 lossless / .81 near-lossless, ITU-T
-// T.87 LOCO-I, grayscale), and Deflated Explicit VR LE
+// T.87 LOCO-I, grayscale), JPEG 2000 Part 1 (1.2.840.10008.1.2.4.90/.91,
+// ISO 15444-1 / ITU-T T.800, reversible 5/3 grayscale — see the J2K
+// section header for the precise envelope), and Deflated Explicit VR LE
 // (1.2.840.10008.1.2.1.99, PS3.5 A.5, via zlib).  Remaining syntaxes
-// (JPEG 2000, big-endian) fail with an error NAMING the UID
+// (HTJ2K, big-endian) fail with an error NAMING the UID
 // so the gap is diagnosable (pydicom would decode those,
 // /root/reference/dataset.py:93-112).  Extracted fields mirror exactly what
 // the reference reads: Rows, Columns, BitsStored, PixelRepresentation,
@@ -27,6 +29,8 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
+#include <utility>
 #include <vector>
 
 #include <zlib.h>
@@ -131,6 +135,9 @@ const char* syntax_name(const char* uid) {
       {"1.2.840.10008.1.2.4.81", "JPEG-LS Near-Lossless"},
       {"1.2.840.10008.1.2.4.90", "JPEG 2000 Lossless"},
       {"1.2.840.10008.1.2.4.91", "JPEG 2000"},
+      {"1.2.840.10008.1.2.4.201", "HTJ2K Lossless"},
+      {"1.2.840.10008.1.2.4.202", "HTJ2K Lossless RPCL"},
+      {"1.2.840.10008.1.2.4.203", "HTJ2K"},
       {"1.2.840.10008.1.2.5", "RLE Lossless"},
   };
   for (const auto& k : kKnown) {
@@ -1563,6 +1570,1407 @@ bool jpeg_ls_decode(const uint8_t* data, size_t len, uint8_t* out,
   return false;
 }
 
+// ---------------------------------------------------------------------------
+// JPEG 2000 Part 1 (ISO/IEC 15444-1 / ITU-T T.800; DICOM transfer syntax
+// 1.2.840.10008.1.2.4.90 "JPEG 2000 Image Compression (Lossless Only)" —
+// PS3.5 A.4.4).  The reference reads these through pydicom's handler stack
+// (/root/reference/dataset.py:4,93-105,180); this is the pydicom-free
+// equivalent.  Scope — what mammography archives actually emit under .90:
+// raw codestreams (PS3.5 A.4.4 forbids the JP2 wrapper), grayscale single
+// component, no subsampling, reversible 5/3 wavelet with no quantization,
+// any decomposition depth, any codeblock/precinct geometry, multiple tiles
+// and tile-parts, all five progression orders, multiple layers, SOP/EPH
+// resilience markers, and the codeblock styles OpenJPEG/Kakadu use
+// (reset-context, vertically-causal, predictable-termination,
+// segmentation-symbols).  Refused BY NAME: irreversible 9/7 (that is .91
+// territory, which stays refused as a syntax), multi-component/MCT,
+// subsampling, arithmetic-bypass and terminate-each-pass codeblock styles,
+// POC/PPM/PPT/RGN/COC/QCC marker segments.  Validated by round-tripping
+// against OpenJPEG-encoded fixtures (via Pillow) in
+// tests/test_dicom_native.py.
+
+// MQ arithmetic decoder (T.800 Annex C, software conventions C.3).  The
+// 47-state probability table is Table C.2 verbatim.
+struct MqState {
+  uint16_t qe;
+  uint8_t nmps, nlps, sw;
+};
+const MqState kMqTab[47] = {
+    {0x5601, 1, 1, 1},    {0x3401, 2, 6, 0},    {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0},   {0x0521, 5, 29, 0},   {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},    {0x5401, 8, 14, 0},   {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0},  {0x3001, 11, 17, 0},  {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0},  {0x1601, 29, 21, 0},  {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0},  {0x5101, 17, 15, 0},  {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0},  {0x3401, 20, 18, 0},  {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0},  {0x2401, 23, 20, 0},  {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0},  {0x1801, 26, 23, 0},  {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0},  {0x1201, 29, 26, 0},  {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0},  {0x09C1, 32, 29, 0},  {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0},  {0x0441, 35, 32, 0},  {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0},  {0x0141, 38, 35, 0},  {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0},  {0x0049, 41, 38, 0},  {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0},  {0x0009, 44, 41, 0},  {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0},  {0x5601, 46, 46, 0},
+};
+
+// EBCOT context labels (T.800 D.2): 0-8 zero coding, 9-13 sign coding,
+// 14-16 magnitude refinement, 17 run-length, 18 uniform.
+enum { kCtxRl = 17, kCtxUni = 18, kNumCtx = 19 };
+
+struct MqDec {
+  const uint8_t* buf;
+  size_t len, bpos;
+  uint32_t c, a;
+  int ct;
+  uint8_t state[kNumCtx];
+  uint8_t mps[kNumCtx];
+
+  uint8_t at(size_t i) const { return i < len ? buf[i] : 0xFF; }
+
+  void bytein() {
+    if (at(bpos) == 0xFF) {
+      if (at(bpos + 1) > 0x8F) {  // marker (or past end): feed 1-bits forever
+        c += 0xFF00;
+        ct = 8;
+      } else {
+        ++bpos;
+        c += static_cast<uint32_t>(at(bpos)) << 9;
+        ct = 7;
+      }
+    } else {
+      ++bpos;
+      c += static_cast<uint32_t>(at(bpos)) << 8;
+      ct = 8;
+    }
+  }
+
+  void reset_contexts() {
+    memset(state, 0, sizeof(state));
+    memset(mps, 0, sizeof(mps));
+    state[0] = 4;        // ZC all-zero-neighborhood context
+    state[kCtxRl] = 3;   // run-length
+    state[kCtxUni] = 46; // uniform
+  }
+
+  void init(const uint8_t* d, size_t n) {
+    buf = d;
+    len = n;
+    bpos = 0;
+    c = static_cast<uint32_t>(at(0)) << 16;
+    bytein();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+    reset_contexts();
+  }
+
+  int decode(int cx) {
+    const MqState& s = kMqTab[state[cx]];
+    const uint32_t qe = s.qe;
+    int d;
+    a -= qe;
+    if ((c >> 16) < qe) {
+      if (a < qe) {  // LPS exchange: MPS decision
+        d = mps[cx];
+        state[cx] = s.nmps;
+      } else {
+        d = 1 - mps[cx];
+        if (s.sw) mps[cx] ^= 1;
+        state[cx] = s.nlps;
+      }
+      a = qe;
+      do {
+        if (ct == 0) bytein();
+        a <<= 1;
+        c <<= 1;
+        --ct;
+      } while (!(a & 0x8000));
+    } else {
+      c -= qe << 16;
+      if (!(a & 0x8000)) {
+        if (a < qe) {  // MPS exchange: LPS decision
+          d = 1 - mps[cx];
+          if (s.sw) mps[cx] ^= 1;
+          state[cx] = s.nlps;
+        } else {
+          d = mps[cx];
+          state[cx] = s.nmps;
+        }
+        do {
+          if (ct == 0) bytein();
+          a <<= 1;
+          c <<= 1;
+          --ct;
+        } while (!(a & 0x8000));
+      } else {
+        d = mps[cx];
+      }
+    }
+    return d;
+  }
+};
+
+// Packet-header bit reader with 0xFF bit-stuffing (T.800 B.10.1): a byte
+// following a 0xFF carries only 7 data bits, and its MSB (the stuffed bit)
+// must be 0.  Reads MSB-first.  Returns -1 past the end or on a set
+// stuffed bit.
+struct J2kHdrReader {
+  const uint8_t* p;
+  size_t n, off;
+  int avail = 0;
+
+  J2kHdrReader(const uint8_t* d, size_t len, size_t start)
+      : p(d), n(len), off(start) {}
+
+  int bit() {
+    if (avail == 0) {
+      if (off >= n) return -1;
+      const bool after_ff = off > 0 && p[off - 1] == 0xFF;
+      const uint8_t b = p[off];
+      if (after_ff && (b & 0x80)) return -1;  // stuffed bit must be 0
+      ++off;
+      avail = after_ff ? 7 : 8;
+    }
+    --avail;
+    return (p[off - 1] >> avail) & 1;
+  }
+
+  int bits(int k, uint32_t* out) {
+    uint32_t v = 0;
+    for (int i = 0; i < k; ++i) {
+      int b = bit();
+      if (b < 0) return -1;
+      v = (v << 1) | static_cast<uint32_t>(b);
+    }
+    *out = v;
+    return 0;
+  }
+
+  // Byte-align at end of header; a header may not end on a 0xFF byte, so
+  // the encoder appends the stuffed byte, which belongs to the header.
+  bool align() {
+    avail = 0;
+    if (off > 0 && p[off - 1] == 0xFF) {
+      if (off >= n) return false;
+      ++off;
+    }
+    return true;
+  }
+};
+
+// Tag tree (T.800 B.10.2).  Nodes are stored leaves-first, one level after
+// another; partial knowledge persists across packets/layers.
+struct J2kTagTree {
+  struct Node {
+    int parent;
+    int value, low;
+    bool known;
+  };
+  int w = 0, h = 0;
+  std::vector<Node> nodes;
+
+  void build(int w_, int h_) {
+    w = w_;
+    h = h_;
+    nodes.clear();
+    if (w <= 0 || h <= 0) return;
+    std::vector<std::pair<int, int>> dims;
+    int lw = w, lh = h;
+    size_t total = 0;
+    for (;;) {
+      dims.push_back({lw, lh});
+      total += static_cast<size_t>(lw) * lh;
+      if (lw == 1 && lh == 1) break;
+      lw = (lw + 1) / 2;
+      lh = (lh + 1) / 2;
+    }
+    nodes.assign(total, Node{-1, 0, 0, false});
+    size_t base = 0;
+    for (size_t k = 0; k + 1 < dims.size(); ++k) {
+      const int cw = dims[k].first, ch = dims[k].second;
+      const size_t pbase = base + static_cast<size_t>(cw) * ch;
+      const int pw = dims[k + 1].first;
+      for (int j = 0; j < ch; ++j)
+        for (int i = 0; i < cw; ++i)
+          nodes[base + static_cast<size_t>(j) * cw + i].parent =
+              static_cast<int>(pbase + static_cast<size_t>(j / 2) * pw + i / 2);
+      base = pbase;
+    }
+  }
+
+  // Establish whether leaf's value < threshold.  1 = yes (known), 0 = not
+  // below threshold (value may still be unknown), -1 = reader error.
+  int decode(J2kHdrReader& br, int leaf, int threshold) {
+    int path[40];
+    int np = 0;
+    for (int idx = leaf; idx >= 0; idx = nodes[idx].parent) {
+      if (np >= 40) return -1;
+      path[np++] = idx;
+    }
+    int low = 0;
+    for (int k = np - 1; k >= 0; --k) {
+      Node& nd = nodes[path[k]];
+      if (nd.low < low) nd.low = low;
+      while (!nd.known && nd.low < threshold) {
+        const int b = br.bit();
+        if (b < 0) return -1;
+        if (b) {
+          nd.known = true;
+          nd.value = nd.low;
+        } else {
+          ++nd.low;
+        }
+      }
+      low = nd.known ? nd.value : nd.low;
+    }
+    return (nodes[leaf].known && nodes[leaf].value < threshold) ? 1 : 0;
+  }
+
+  // Decode a leaf's exact value (zero-bitplane trees decode to completion).
+  int decode_full(J2kHdrReader& br, int leaf, int* out) {
+    int t = 1;
+    while (!nodes[leaf].known) {
+      if (decode(br, leaf, t) < 0) return -1;
+      if (++t > 64) return -1;  // zero-bitplanes can't sanely exceed Mb<=31
+    }
+    *out = nodes[leaf].value;
+    return 0;
+  }
+};
+
+// Zero-coding context from neighborhood significance counts (Table D.1).
+// orient: 0=LL, 1=HL, 2=LH, 3=HH.  h/v/d = significant horizontal /
+// vertical / diagonal neighbor counts.
+inline int j2k_zc_context(int orient, int h, int v, int d) {
+  if (orient == 1) {  // HL: same table as LL/LH with h and v exchanged
+    const int t = h;
+    h = v;
+    v = t;
+  }
+  if (orient != 3) {  // LL, LH (and swapped HL)
+    if (h == 2) return 8;
+    if (h == 1) return v >= 1 ? 7 : (d >= 1 ? 6 : 5);
+    if (v == 2) return 4;
+    if (v == 1) return 3;
+    return d >= 2 ? 2 : (d == 1 ? 1 : 0);
+  }
+  const int hv = h + v;  // HH
+  if (d >= 3) return 8;
+  if (d == 2) return hv >= 1 ? 7 : 6;
+  if (d == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+  return hv >= 2 ? 2 : (hv == 1 ? 1 : 0);
+}
+
+// Sign-coding context + XOR bit from clamped H/V sign contributions
+// (Table D.2).  hc/vc in {-1,0,1}.
+inline void j2k_sc_context(int hc, int vc, int* ctx, int* flip) {
+  if (hc == 0 && vc == 0) {
+    *ctx = 9;
+    *flip = 0;
+    return;
+  }
+  int f = 0;
+  if (hc < 0 || (hc == 0 && vc < 0)) {  // exploit point symmetry
+    hc = -hc;
+    vc = -vc;
+    f = 1;
+  }
+  if (hc == 0) *ctx = 10;        // (0,1)
+  else if (vc == 1) *ctx = 13;   // (1,1)
+  else if (vc == 0) *ctx = 12;   // (1,0)
+  else *ctx = 11;                // (1,-1)
+  *flip = f;
+}
+
+// Per-coefficient Tier-1 state flags, kept in a (w+2)x(h+2) bordered array
+// so neighborhood reads need no bounds checks.
+enum : uint8_t {
+  kT1Sig = 1,     // significant
+  kT1Visit = 2,   // coded by this bitplane's significance-propagation pass
+  kT1Ref = 4,     // refined at least once
+  kT1Neg = 8,     // sign bit (negative)
+};
+
+// EBCOT Tier-1 block decoder (T.800 Annex D): decodes `numpasses` coding
+// passes from one MQ codeword segment into signed coefficients.  `mb` is
+// the band's maximum bitplane count, `zbp` the signalled missing MSBs.
+// Styles: bit1 reset-context, bit3 vertically-causal, bit5 segmentation
+// symbols (bit4 predictable-termination needs no decoder action; bit0
+// bypass and bit2 term-all were refused at parse time).
+bool j2k_t1_decode(const uint8_t* data, size_t dlen, int w, int h, int orient,
+                   int mb, int zbp, int numpasses, uint8_t cb_style,
+                   int32_t* out, char* err, size_t err_cap) {
+  if (w <= 0 || h <= 0) return true;
+  const bool causal = (cb_style & 0x08) != 0;
+  const bool segsym = (cb_style & 0x20) != 0;
+  const bool reset_ctx = (cb_style & 0x02) != 0;
+  const int fs = w + 2;  // bordered stride
+  std::vector<uint8_t> flags(static_cast<size_t>(fs) * (h + 2), 0);
+  std::vector<uint32_t> mag(static_cast<size_t>(w) * h, 0);
+
+  MqDec mq;
+  mq.init(data, dlen);
+
+  auto fidx = [fs](int x, int y) { return static_cast<size_t>(y + 1) * fs + (x + 1); };
+  auto sig = [&](size_t p) -> int { return flags[p] & kT1Sig ? 1 : 0; };
+  // Neighborhood significance counts; `cut` masks the row below (vertical
+  // causal mode at a stripe's last row).
+  auto hvd = [&](size_t p, bool cut, int* hh, int* vv, int* dd) {
+    *hh = sig(p - 1) + sig(p + 1);
+    *vv = sig(p - fs) + (cut ? 0 : sig(p + fs));
+    *dd = sig(p - fs - 1) + sig(p - fs + 1) +
+          (cut ? 0 : sig(p + fs - 1) + sig(p + fs + 1));
+  };
+  auto sign_contrib = [&](size_t p) -> int {  // +1 pos-sig, -1 neg-sig, 0
+    if (!(flags[p] & kT1Sig)) return 0;
+    return (flags[p] & kT1Neg) ? -1 : 1;
+  };
+  auto decode_sign = [&](size_t p, bool cut) {
+    int hc = sign_contrib(p - 1) + sign_contrib(p + 1);
+    int vc = sign_contrib(p - fs) + (cut ? 0 : sign_contrib(p + fs));
+    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+    int ctx, flip;
+    j2k_sc_context(hc, vc, &ctx, &flip);
+    if (mq.decode(ctx) ^ flip) flags[p] |= kT1Neg;
+    flags[p] |= kT1Sig;
+  };
+
+  int bp = mb - 1 - zbp;
+  int pass_type = 2;  // first pass of the first coded bitplane is cleanup
+  if (numpasses > 0 && bp < 0) {
+    snprintf(err, err_cap, "J2K codeblock: %d passes but no bitplanes", numpasses);
+    return false;
+  }
+  if (bp > 30) {
+    snprintf(err, err_cap, "J2K codeblock bitplane %d exceeds 31-bit budget", bp);
+    return false;
+  }
+
+  for (int pass = 0; pass < numpasses; ++pass) {
+    if (bp < 0) {
+      snprintf(err, err_cap, "J2K codeblock: more passes than bitplanes");
+      return false;
+    }
+    const uint32_t bit = 1u << bp;
+    if (pass_type == 0) {  // significance propagation (D.3.1)
+      for (int y0 = 0; y0 < h; y0 += 4) {
+        const int ylim = y0 + 4 < h ? y0 + 4 : h;
+        for (int x = 0; x < w; ++x) {
+          for (int y = y0; y < ylim; ++y) {
+            const size_t p = fidx(x, y);
+            if (flags[p] & kT1Sig) continue;
+            const bool cut = causal && (y & 3) == 3;
+            int hn, vn, dn;
+            hvd(p, cut, &hn, &vn, &dn);
+            if (hn + vn + dn == 0) continue;  // not in this pass
+            flags[p] |= kT1Visit;
+            if (mq.decode(j2k_zc_context(orient, hn, vn, dn))) {
+              decode_sign(p, cut);
+              mag[static_cast<size_t>(y) * w + x] |= bit;
+            }
+          }
+        }
+      }
+    } else if (pass_type == 1) {  // magnitude refinement (D.3.3)
+      for (int y0 = 0; y0 < h; y0 += 4) {
+        const int ylim = y0 + 4 < h ? y0 + 4 : h;
+        for (int x = 0; x < w; ++x) {
+          for (int y = y0; y < ylim; ++y) {
+            const size_t p = fidx(x, y);
+            if (!(flags[p] & kT1Sig) || (flags[p] & kT1Visit)) continue;
+            int ctx;
+            if (flags[p] & kT1Ref) {
+              ctx = 16;
+            } else {
+              const bool cut = causal && (y & 3) == 3;
+              int hn, vn, dn;
+              hvd(p, cut, &hn, &vn, &dn);
+              ctx = hn + vn + dn > 0 ? 15 : 14;
+            }
+            if (mq.decode(ctx)) mag[static_cast<size_t>(y) * w + x] |= bit;
+            flags[p] |= kT1Ref;
+          }
+        }
+      }
+    } else {  // cleanup (D.3.4)
+      for (int y0 = 0; y0 < h; y0 += 4) {
+        const int ylim = y0 + 4 < h ? y0 + 4 : h;
+        for (int x = 0; x < w; ++x) {
+          int y = y0;
+          if (y0 + 4 <= h) {  // full stripe column: run-length eligible?
+            bool rl = true;
+            for (int k = 0; k < 4 && rl; ++k) {
+              const size_t p = fidx(x, y0 + k);
+              if (flags[p] & (kT1Sig | kT1Visit)) {
+                rl = false;
+                break;
+              }
+              const bool cut = causal && k == 3;
+              int hn, vn, dn;
+              hvd(p, cut, &hn, &vn, &dn);
+              if (hn + vn + dn != 0) rl = false;
+            }
+            if (rl) {
+              if (!mq.decode(kCtxRl)) continue;  // all four stay zero
+              const int r = (mq.decode(kCtxUni) << 1) | mq.decode(kCtxUni);
+              y = y0 + r;
+              const size_t p = fidx(x, y);
+              mag[static_cast<size_t>(y) * w + x] |= bit;
+              decode_sign(p, causal && (y & 3) == 3);
+              ++y;  // samples below the first significant one: normal mode
+            }
+          }
+          for (; y < ylim; ++y) {
+            const size_t p = fidx(x, y);
+            if (flags[p] & (kT1Sig | kT1Visit)) continue;
+            const bool cut = causal && (y & 3) == 3;
+            int hn, vn, dn;
+            hvd(p, cut, &hn, &vn, &dn);
+            if (mq.decode(j2k_zc_context(orient, hn, vn, dn))) {
+              decode_sign(p, cut);
+              mag[static_cast<size_t>(y) * w + x] |= bit;
+            }
+          }
+        }
+      }
+      if (segsym) {  // four UNIFORM bits spelling 0xA (D.3.4)
+        int v = 0;
+        for (int k = 0; k < 4; ++k) v = (v << 1) | mq.decode(kCtxUni);
+        if (v != 0xA) {
+          snprintf(err, err_cap, "J2K segmentation symbol %X != A", v);
+          return false;
+        }
+      }
+    }
+    if (pass_type == 2) {  // end of a bitplane: clear SPP-visited marks
+      for (auto& f : flags) f = static_cast<uint8_t>(f & ~kT1Visit);
+      --bp;
+      pass_type = 0;
+    } else {
+      ++pass_type;
+    }
+    if (reset_ctx) mq.reset_contexts();
+  }
+
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      const size_t i = static_cast<size_t>(y) * w + x;
+      const int32_t m = static_cast<int32_t>(mag[i]);
+      out[i] = (flags[fidx(x, y)] & kT1Neg) ? -m : m;
+    }
+  }
+  return true;
+}
+
+// --- codestream geometry (T.800 B.3-B.7) -----------------------------------
+
+inline int64_t j2k_ceil_div(int64_t a, int64_t b) {
+  return a >= 0 ? (a + b - 1) / b : -((-a) / b);
+}
+
+struct J2kCodeBlock {
+  uint32_t x0, y0, x1, y1;  // absolute band coordinates
+  uint32_t numpasses = 0;
+  int lblock = 3;
+  int zbp = 0;
+  bool included = false;
+  std::vector<uint8_t> data;
+};
+
+struct J2kPrecBand {
+  int gx0 = 0, gy0 = 0, gw = 0, gh = 0;  // cb-grid range within the precinct
+  J2kTagTree incl, zbps;
+};
+
+struct J2kPrecinct {
+  J2kPrecBand pb[3];
+};
+
+struct J2kBand {
+  int orient = 0;                   // 0 LL, 1 HL, 2 LH, 3 HH
+  uint32_t x0 = 0, y0 = 0, x1 = 0, y1 = 0;  // absolute band coordinates
+  int mb = 0;
+  uint32_t cbw = 1, cbh = 1;        // codeblock nominal dims (precinct-clamped)
+  int64_t g_x0 = 0, g_y0 = 0;       // global codeblock grid origin (indices)
+  int g_w = 0, g_h = 0;
+  std::vector<J2kCodeBlock> cbs;    // g_w * g_h, raster order
+};
+
+struct J2kRes {
+  uint32_t x0 = 0, y0 = 0, x1 = 0, y1 = 0;  // resolution coordinates
+  int ppx = 15, ppy = 15;
+  int npw = 0, nph = 0;
+  int nbands = 0;
+  J2kBand bands[3];
+  std::vector<J2kPrecinct> precincts;  // npw * nph, raster order
+};
+
+struct J2kTile {
+  uint32_t x0, y0, x1, y1;    // tile rect on the reference grid
+  std::vector<uint8_t> data;  // concatenated tile-part bitstreams
+  std::vector<J2kRes> res;
+};
+
+struct J2kParams {
+  uint32_t xsiz = 0, ysiz = 0, xosiz = 0, yosiz = 0;
+  uint32_t xtsiz = 0, ytsiz = 0, xtosiz = 0, ytosiz = 0;
+  int depth = 0;
+  int nl = 0;
+  int xcb = 6, ycb = 6;  // codeblock exponents
+  uint8_t cb_style = 0;
+  int prog = 0;   // 0 LRCP, 1 RLCP, 2 RPCL, 3 PCRL, 4 CPRL
+  int layers = 1;
+  int guard = 2;
+  std::vector<int> band_eps;        // QCD exponents in signalled order
+  std::vector<uint8_t> prec_sizes;  // per-resolution PPx | PPy<<4
+  bool user_precincts = false;
+  bool sop = false, eph = false;
+};
+
+bool j2k_build_tile(const J2kParams& P, J2kTile* t, char* err, size_t err_cap) {
+  const int NL = P.nl;
+  if (static_cast<int>(P.band_eps.size()) < 3 * NL + 1) {
+    snprintf(err, err_cap, "J2K QCD signals %d subband exponents, need %d",
+             static_cast<int>(P.band_eps.size()), 3 * NL + 1);
+    return false;
+  }
+  t->res.resize(NL + 1);
+  for (int r = 0; r <= NL; ++r) {
+    J2kRes& R = t->res[r];
+    const int64_t den = 1ll << (NL - r);
+    R.x0 = static_cast<uint32_t>(j2k_ceil_div(t->x0, den));
+    R.y0 = static_cast<uint32_t>(j2k_ceil_div(t->y0, den));
+    R.x1 = static_cast<uint32_t>(j2k_ceil_div(t->x1, den));
+    R.y1 = static_cast<uint32_t>(j2k_ceil_div(t->y1, den));
+    if (P.user_precincts) {
+      if (r >= static_cast<int>(P.prec_sizes.size())) {
+        snprintf(err, err_cap, "J2K COD precinct list shorter than NL+1");
+        return false;
+      }
+      R.ppx = P.prec_sizes[r] & 0x0F;
+      R.ppy = P.prec_sizes[r] >> 4;
+      if (r > 0 && (R.ppx == 0 || R.ppy == 0)) {
+        snprintf(err, err_cap,
+                 "J2K precinct exponent 0 only legal at resolution 0");
+        return false;
+      }
+    }
+    R.npw = R.x1 > R.x0
+                ? static_cast<int>(((R.x1 - 1) >> R.ppx) - (R.x0 >> R.ppx) + 1)
+                : 0;
+    R.nph = R.y1 > R.y0
+                ? static_cast<int>(((R.y1 - 1) >> R.ppy) - (R.y0 >> R.ppy) + 1)
+                : 0;
+
+    // Bands and their Mb (reversible, no quantization: Mb = G + eps - 1,
+    // T.800 E.1.1); QCD order is LL then HL,LH,HH per level (ascending r).
+    const int cbx = P.xcb < (r == 0 ? R.ppx : R.ppx - 1)
+                        ? P.xcb
+                        : (r == 0 ? R.ppx : R.ppx - 1);
+    const int cby = P.ycb < (r == 0 ? R.ppy : R.ppy - 1)
+                        ? P.ycb
+                        : (r == 0 ? R.ppy : R.ppy - 1);
+    R.nbands = r == 0 ? 1 : 3;
+    for (int bi = 0; bi < R.nbands; ++bi) {
+      J2kBand& B = R.bands[bi];
+      int xob, yob;
+      if (r == 0) {
+        B.orient = 0;
+        xob = yob = 0;
+        B.x0 = R.x0;
+        B.y0 = R.y0;
+        B.x1 = R.x1;
+        B.y1 = R.y1;
+        B.mb = P.guard + P.band_eps[0] - 1;
+      } else {
+        B.orient = bi + 1;  // HL, LH, HH
+        xob = bi == 1 ? 0 : 1;
+        yob = bi == 0 ? 0 : 1;
+        B.x0 = static_cast<uint32_t>(
+            j2k_ceil_div(static_cast<int64_t>(R.x0) - xob, 2));
+        B.y0 = static_cast<uint32_t>(
+            j2k_ceil_div(static_cast<int64_t>(R.y0) - yob, 2));
+        B.x1 = static_cast<uint32_t>(
+            j2k_ceil_div(static_cast<int64_t>(R.x1) - xob, 2));
+        B.y1 = static_cast<uint32_t>(
+            j2k_ceil_div(static_cast<int64_t>(R.y1) - yob, 2));
+        B.mb = P.guard + P.band_eps[3 * (r - 1) + 1 + bi] - 1;
+      }
+      if (B.mb < 1 || B.mb > 31) {
+        snprintf(err, err_cap, "J2K band Mb=%d outside [1,31]", B.mb);
+        return false;
+      }
+      B.cbw = 1u << cbx;
+      B.cbh = 1u << cby;
+      if (B.x1 > B.x0 && B.y1 > B.y0) {
+        B.g_x0 = B.x0 / B.cbw;
+        B.g_y0 = B.y0 / B.cbh;
+        B.g_w = static_cast<int>(j2k_ceil_div(B.x1, B.cbw) - B.g_x0);
+        B.g_h = static_cast<int>(j2k_ceil_div(B.y1, B.cbh) - B.g_y0);
+      } else {
+        B.g_w = B.g_h = 0;
+      }
+      B.cbs.assign(static_cast<size_t>(B.g_w) * B.g_h, J2kCodeBlock{});
+      for (int gj = 0; gj < B.g_h; ++gj) {
+        for (int gi = 0; gi < B.g_w; ++gi) {
+          J2kCodeBlock& cb = B.cbs[static_cast<size_t>(gj) * B.g_w + gi];
+          const uint64_t cx0 = static_cast<uint64_t>(B.g_x0 + gi) * B.cbw;
+          const uint64_t cy0 = static_cast<uint64_t>(B.g_y0 + gj) * B.cbh;
+          cb.x0 = static_cast<uint32_t>(cx0 > B.x0 ? cx0 : B.x0);
+          cb.y0 = static_cast<uint32_t>(cy0 > B.y0 ? cy0 : B.y0);
+          cb.x1 = static_cast<uint32_t>(
+              cx0 + B.cbw < B.x1 ? cx0 + B.cbw : B.x1);
+          cb.y1 = static_cast<uint32_t>(
+              cy0 + B.cbh < B.y1 ? cy0 + B.cbh : B.y1);
+        }
+      }
+    }
+
+    // Precincts: rect in resolution coords, mapped per band to a codeblock
+    // grid range; inclusion / zero-bitplane tag trees are per (precinct,
+    // band) and persist across layers.
+    R.precincts.assign(static_cast<size_t>(R.npw) * R.nph, J2kPrecinct{});
+    for (int pj = 0; pj < R.nph; ++pj) {
+      for (int pi = 0; pi < R.npw; ++pi) {
+        J2kPrecinct& PR = R.precincts[static_cast<size_t>(pj) * R.npw + pi];
+        const uint64_t pcx = (R.x0 >> R.ppx) + pi;
+        const uint64_t pcy = (R.y0 >> R.ppy) + pj;
+        const uint64_t px0v = pcx << R.ppx, py0v = pcy << R.ppy;
+        const uint32_t px0 = static_cast<uint32_t>(px0v > R.x0 ? px0v : R.x0);
+        const uint32_t py0 = static_cast<uint32_t>(py0v > R.y0 ? py0v : R.y0);
+        const uint64_t px1v = px0v + (1ull << R.ppx);
+        const uint64_t py1v = py0v + (1ull << R.ppy);
+        const uint32_t px1 = static_cast<uint32_t>(px1v < R.x1 ? px1v : R.x1);
+        const uint32_t py1 = static_cast<uint32_t>(py1v < R.y1 ? py1v : R.y1);
+        for (int bi = 0; bi < R.nbands; ++bi) {
+          const J2kBand& B = R.bands[bi];
+          J2kPrecBand& PB = PR.pb[bi];
+          int64_t bx0, by0, bx1, by1;
+          if (r == 0) {
+            bx0 = px0;
+            by0 = py0;
+            bx1 = px1;
+            by1 = py1;
+          } else {
+            const int xob = bi == 1 ? 0 : 1;
+            const int yob = bi == 0 ? 0 : 1;
+            bx0 = j2k_ceil_div(static_cast<int64_t>(px0) - xob, 2);
+            by0 = j2k_ceil_div(static_cast<int64_t>(py0) - yob, 2);
+            bx1 = j2k_ceil_div(static_cast<int64_t>(px1) - xob, 2);
+            by1 = j2k_ceil_div(static_cast<int64_t>(py1) - yob, 2);
+          }
+          if (bx0 < B.x0) bx0 = B.x0;
+          if (by0 < B.y0) by0 = B.y0;
+          if (bx1 > B.x1) bx1 = B.x1;
+          if (by1 > B.y1) by1 = B.y1;
+          if (bx1 > bx0 && by1 > by0) {
+            PB.gx0 = static_cast<int>(bx0 / B.cbw);
+            PB.gy0 = static_cast<int>(by0 / B.cbh);
+            PB.gw = static_cast<int>(j2k_ceil_div(bx1, B.cbw) - PB.gx0);
+            PB.gh = static_cast<int>(j2k_ceil_div(by1, B.cbh) - PB.gy0);
+          } else {
+            PB.gw = PB.gh = 0;
+          }
+          PB.incl.build(PB.gw, PB.gh);
+          PB.zbps.build(PB.gw, PB.gh);
+        }
+      }
+    }
+  }
+  return true;
+}
+
+// Packet iteration order (T.800 B.12).  One component, so CPRL == PCRL.
+struct J2kPktRef {
+  uint64_t k0, k1, k2, k3;  // sort key, lexicographic
+  int l, r, p;
+};
+
+void j2k_packet_order(const J2kParams& P, const J2kTile& t,
+                      std::vector<J2kPktRef>* order) {
+  order->clear();
+  const int NL = P.nl;
+  for (int r = 0; r <= NL; ++r) {
+    const J2kRes& R = t.res[r];
+    for (int p = 0; p < R.npw * R.nph; ++p) {
+      const int pi = p % R.npw, pj = p / R.npw;
+      // Precinct origin projected to the reference grid; the first
+      // precinct row/col triggers at the tile origin (B.12.1.3).
+      uint64_t xr = (((static_cast<uint64_t>(R.x0) >> R.ppx) + pi) << R.ppx)
+                    << (NL - r);
+      uint64_t yr = (((static_cast<uint64_t>(R.y0) >> R.ppy) + pj) << R.ppy)
+                    << (NL - r);
+      if (xr < t.x0) xr = t.x0;
+      if (yr < t.y0) yr = t.y0;
+      for (int l = 0; l < P.layers; ++l) {
+        J2kPktRef ref;
+        ref.l = l;
+        ref.r = r;
+        ref.p = p;
+        const uint64_t ul = static_cast<uint64_t>(l);
+        const uint64_t ur = static_cast<uint64_t>(r);
+        const uint64_t up = static_cast<uint64_t>(p);
+        switch (P.prog) {
+          case 0: ref.k0 = ul; ref.k1 = ur; ref.k2 = up; ref.k3 = 0; break;
+          case 1: ref.k0 = ur; ref.k1 = ul; ref.k2 = up; ref.k3 = 0; break;
+          case 2: ref.k0 = ur; ref.k1 = yr; ref.k2 = xr; ref.k3 = ul; break;
+          default: ref.k0 = yr; ref.k1 = xr; ref.k2 = ur; ref.k3 = ul; break;
+        }
+        order->push_back(ref);
+      }
+    }
+  }
+  std::stable_sort(order->begin(), order->end(),
+                   [](const J2kPktRef& a, const J2kPktRef& b) {
+                     if (a.k0 != b.k0) return a.k0 < b.k0;
+                     if (a.k1 != b.k1) return a.k1 < b.k1;
+                     if (a.k2 != b.k2) return a.k2 < b.k2;
+                     return a.k3 < b.k3;
+                   });
+}
+
+// Parse every packet of a tile's bitstream, accumulating per-codeblock
+// codeword segments and pass counts (T.800 B.10).
+bool j2k_read_packets(const J2kParams& P, J2kTile& t, char* err,
+                      size_t err_cap) {
+  std::vector<J2kPktRef> order;
+  j2k_packet_order(P, t, &order);
+  const uint8_t* d = t.data.data();
+  const size_t n = t.data.size();
+  size_t pos = 0;
+  struct Seg {
+    J2kCodeBlock* cb;
+    uint32_t newpasses, nbytes;
+  };
+  std::vector<Seg> segs;
+  for (const J2kPktRef& pk : order) {
+    J2kRes& R = t.res[pk.r];
+    J2kPrecinct& PR = R.precincts[pk.p];
+    if (P.sop) {  // optional per-packet SOP marker segment (6 bytes)
+      if (pos + 2 <= n && d[pos] == 0xFF && d[pos + 1] == 0x91) {
+        if (pos + 6 > n) {
+          snprintf(err, err_cap, "J2K truncated SOP marker");
+          return false;
+        }
+        pos += 6;
+      }
+    }
+    J2kHdrReader br(d, n, pos);
+    const int nonzero = br.bit();
+    if (nonzero < 0) {
+      snprintf(err, err_cap, "J2K packet header truncated (layer %d res %d)",
+               pk.l, pk.r);
+      return false;
+    }
+    segs.clear();
+    if (nonzero) {
+      for (int bi = 0; bi < R.nbands; ++bi) {
+        J2kBand& B = R.bands[bi];
+        J2kPrecBand& PB = PR.pb[bi];
+        for (int gj = 0; gj < PB.gh; ++gj) {
+          for (int gi = 0; gi < PB.gw; ++gi) {
+            const int leaf = gj * PB.gw + gi;
+            const size_t cbi =
+                static_cast<size_t>(PB.gy0 + gj - B.g_y0) * B.g_w +
+                (PB.gx0 + gi - B.g_x0);
+            J2kCodeBlock& cb = B.cbs[cbi];
+            bool inc;
+            if (!cb.included) {
+              const int rr = PB.incl.decode(br, leaf, pk.l + 1);
+              if (rr < 0) {
+                snprintf(err, err_cap, "J2K inclusion tag tree truncated");
+                return false;
+              }
+              inc = rr == 1;
+            } else {
+              const int b = br.bit();
+              if (b < 0) {
+                snprintf(err, err_cap, "J2K packet header truncated");
+                return false;
+              }
+              inc = b != 0;
+            }
+            if (!inc) continue;
+            if (!cb.included) {
+              if (PB.zbps.decode_full(br, leaf, &cb.zbp) < 0) {
+                snprintf(err, err_cap, "J2K zero-bitplane tag tree invalid");
+                return false;
+              }
+              cb.included = true;
+            }
+            // New coding passes (Table B.4).
+            uint32_t np;
+            int b = br.bit();
+            if (b == 0) {
+              np = 1;
+            } else if (b > 0 && (b = br.bit()) == 0) {
+              np = 2;
+            } else if (b > 0) {
+              uint32_t v;
+              if (br.bits(2, &v) < 0) b = -1;
+              else if (v < 3) np = 3 + v;
+              else if (br.bits(5, &v) < 0) b = -1;
+              else if (v < 31) np = 6 + v;
+              else if (br.bits(7, &v) < 0) b = -1;
+              else np = 37 + v;
+            }
+            if (b < 0) {
+              snprintf(err, err_cap, "J2K pass-count code truncated");
+              return false;
+            }
+            // Lblock update (unary) then the segment length.
+            while ((b = br.bit()) == 1) {
+              if (++cb.lblock > 24) {
+                snprintf(err, err_cap, "J2K Lblock overflow");
+                return false;
+              }
+            }
+            if (b < 0) {
+              snprintf(err, err_cap, "J2K Lblock code truncated");
+              return false;
+            }
+            int lg = 0;
+            while ((np >> lg) > 1) ++lg;
+            const int nbits = cb.lblock + lg;
+            if (nbits > 28) {
+              snprintf(err, err_cap, "J2K segment length field %d bits", nbits);
+              return false;
+            }
+            uint32_t nbytes;
+            if (br.bits(nbits, &nbytes) < 0) {
+              snprintf(err, err_cap, "J2K segment length truncated");
+              return false;
+            }
+            cb.numpasses += np;
+            if (cb.numpasses > 3u * 31 - 2) {
+              snprintf(err, err_cap, "J2K codeblock pass count %u too large",
+                       cb.numpasses);
+              return false;
+            }
+            segs.push_back(Seg{&cb, np, nbytes});
+          }
+        }
+      }
+    }
+    if (!br.align()) {
+      snprintf(err, err_cap, "J2K packet header ends on stuffed byte");
+      return false;
+    }
+    pos = br.off;
+    if (P.eph) {
+      if (pos + 2 > n || d[pos] != 0xFF || d[pos + 1] != 0x92) {
+        snprintf(err, err_cap, "J2K missing EPH marker");
+        return false;
+      }
+      pos += 2;
+    }
+    for (const Seg& s : segs) {
+      if (s.nbytes > n - pos) {
+        snprintf(err, err_cap, "J2K packet body truncated (%u bytes short)",
+                 s.nbytes);
+        return false;
+      }
+      s.cb->data.insert(s.cb->data.end(), d + pos, d + pos + s.nbytes);
+      pos += s.nbytes;
+    }
+  }
+  return true;
+}
+
+// Reversible 5/3 1-D synthesis (T.800 F.3.6-F.3.8, equation 5-3 lifting)
+// over the absolute index range [i0, i1); `y` is the interleaved input,
+// `x` the output, both indexed relative to i0.  Whole-sample symmetric
+// extension at the boundaries.
+void j2k_sr_1d(const int32_t* y, int32_t* x, int64_t i0, int64_t i1) {
+  const int64_t len = i1 - i0;
+  if (len == 1) {
+    x[0] = (i0 & 1) ? y[0] / 2 : y[0];
+    return;
+  }
+  auto Y = [&](int64_t i) -> int64_t {
+    while (i < i0 || i >= i1) {
+      if (i < i0) i = 2 * i0 - i;
+      if (i >= i1) i = 2 * (i1 - 1) - i;
+    }
+    return y[i - i0];
+  };
+  // Even (lowpass) samples over an extended range so every odd sample in
+  // [i0, i1) sees both even neighbors.
+  const int64_t evlo = (i0 - 1) - (((i0 - 1) % 2 + 2) % 2);
+  const int64_t evhi = i1 - (i1 & 1);
+  std::vector<int64_t> xe(static_cast<size_t>((evhi - evlo) / 2 + 1));
+  for (int64_t u = evlo; u <= evhi; u += 2) {
+    xe[static_cast<size_t>((u - evlo) / 2)] =
+        Y(u) - ((Y(u - 1) + Y(u + 1) + 2) >> 2);
+  }
+  for (int64_t u = i0; u < i1; ++u) {
+    if ((u & 1) == 0) {
+      x[u - i0] = static_cast<int32_t>(xe[static_cast<size_t>((u - evlo) / 2)]);
+    } else {
+      const int64_t a = xe[static_cast<size_t>((u - 1 - evlo) / 2)];
+      const int64_t b = xe[static_cast<size_t>((u + 1 - evlo) / 2)];
+      x[u - i0] = static_cast<int32_t>(Y(u) + ((a + b) >> 1));
+    }
+  }
+}
+
+// One inverse-DWT composition step (T.800 F.3.2 2D_SR): interleave the
+// previous resolution's samples (as LL) with this resolution's HL/LH/HH
+// bands, then synthesize rows and columns.
+void j2k_idwt_step(const std::vector<int32_t>& ll, const J2kRes& prev,
+                   const J2kRes& R, const std::vector<int32_t> band_buf[3],
+                   std::vector<int32_t>* out) {
+  const int64_t w = static_cast<int64_t>(R.x1) - R.x0;
+  const int64_t h = static_cast<int64_t>(R.y1) - R.y0;
+  std::vector<int32_t>& a = *out;
+  a.assign(static_cast<size_t>(w * h), 0);
+  auto place = [&](const std::vector<int32_t>& src, uint32_t bx0, uint32_t by0,
+                   uint32_t bx1, uint32_t by1, int xob, int yob) {
+    const int64_t bw = static_cast<int64_t>(bx1) - bx0;
+    for (uint32_t by = by0; by < by1; ++by) {
+      const int64_t v = 2ll * by + yob - R.y0;
+      for (uint32_t bx = bx0; bx < bx1; ++bx) {
+        const int64_t u = 2ll * bx + xob - R.x0;
+        a[static_cast<size_t>(v * w + u)] =
+            src[static_cast<size_t>((by - by0) * bw + (bx - bx0))];
+      }
+    }
+  };
+  place(ll, prev.x0, prev.y0, prev.x1, prev.y1, 0, 0);
+  const J2kBand* bands = R.bands;
+  place(band_buf[0], bands[0].x0, bands[0].y0, bands[0].x1, bands[0].y1, 1, 0);
+  place(band_buf[1], bands[1].x0, bands[1].y0, bands[1].x1, bands[1].y1, 0, 1);
+  place(band_buf[2], bands[2].x0, bands[2].y0, bands[2].x1, bands[2].y1, 1, 1);
+  // Rows, then columns.
+  std::vector<int32_t> tmp_in(static_cast<size_t>(w > h ? w : h));
+  std::vector<int32_t> tmp_out(static_cast<size_t>(w > h ? w : h));
+  for (int64_t v = 0; v < h; ++v) {
+    memcpy(tmp_in.data(), &a[static_cast<size_t>(v * w)], w * sizeof(int32_t));
+    j2k_sr_1d(tmp_in.data(), tmp_out.data(), R.x0, R.x1);
+    memcpy(&a[static_cast<size_t>(v * w)], tmp_out.data(), w * sizeof(int32_t));
+  }
+  for (int64_t u = 0; u < w; ++u) {
+    for (int64_t v = 0; v < h; ++v) tmp_in[v] = a[static_cast<size_t>(v * w + u)];
+    j2k_sr_1d(tmp_in.data(), tmp_out.data(), R.y0, R.y1);
+    for (int64_t v = 0; v < h; ++v) a[static_cast<size_t>(v * w + u)] = tmp_out[v];
+  }
+}
+
+// Tier-1-decode every codeblock of a tile and run the inverse wavelet;
+// result is the tile's samples (pre-DC-shift) over [x0,x1)x[y0,y1).
+bool j2k_decode_tile(const J2kParams& P, J2kTile& t, std::vector<int32_t>* img,
+                     char* err, size_t err_cap) {
+  std::vector<int32_t> ll;
+  std::vector<int32_t> band_buf[3];
+  for (int r = 0; r <= P.nl; ++r) {
+    J2kRes& R = t.res[r];
+    const int first = r == 0 ? 0 : 0;
+    (void)first;
+    for (int bi = 0; bi < R.nbands; ++bi) {
+      J2kBand& B = R.bands[bi];
+      const int64_t bw = static_cast<int64_t>(B.x1) - B.x0;
+      const int64_t bh = static_cast<int64_t>(B.y1) - B.y0;
+      std::vector<int32_t>& buf = r == 0 ? ll : band_buf[bi];
+      buf.assign(static_cast<size_t>(bw > 0 && bh > 0 ? bw * bh : 0), 0);
+      for (J2kCodeBlock& cb : B.cbs) {
+        if (cb.numpasses == 0) continue;
+        const int cw = static_cast<int>(cb.x1 - cb.x0);
+        const int ch = static_cast<int>(cb.y1 - cb.y0);
+        std::vector<int32_t> coef(static_cast<size_t>(cw) * ch);
+        if (!j2k_t1_decode(cb.data.data(), cb.data.size(), cw, ch, B.orient,
+                           B.mb, cb.zbp, static_cast<int>(cb.numpasses),
+                           P.cb_style, coef.data(), err, err_cap)) {
+          return false;
+        }
+        for (int yy = 0; yy < ch; ++yy) {
+          memcpy(&buf[static_cast<size_t>(cb.y0 - B.y0 + yy) * bw +
+                      (cb.x0 - B.x0)],
+                 &coef[static_cast<size_t>(yy) * cw], cw * sizeof(int32_t));
+        }
+        cb.data.clear();
+        cb.data.shrink_to_fit();
+      }
+    }
+    if (r > 0) {
+      std::vector<int32_t> next;
+      j2k_idwt_step(ll, t.res[r - 1], R, band_buf, &next);
+      ll.swap(next);
+    }
+  }
+  img->swap(ll);
+  return true;
+}
+
+// Top-level JPEG 2000 codestream decode (raw J2C, as DICOM encapsulates).
+bool jpeg2000_decode(const uint8_t* data, size_t len, uint8_t* out,
+                     uint32_t rows, uint32_t cols, uint32_t bps, char* err,
+                     size_t err_cap) {
+  size_t off = 0;
+  auto u16 = [&](size_t i) -> uint32_t {
+    return (static_cast<uint32_t>(data[i]) << 8) | data[i + 1];
+  };
+  auto u32 = [&](size_t i) -> uint32_t {
+    return (static_cast<uint32_t>(data[i]) << 24) |
+           (static_cast<uint32_t>(data[i + 1]) << 16) |
+           (static_cast<uint32_t>(data[i + 2]) << 8) | data[i + 3];
+  };
+  // PS3.5 A.4.4 mandates a raw codestream, but real-world archives do
+  // encapsulate JP2-wrapped files (pydicom tolerates them via OpenJPEG's
+  // signature sniffing).  If the fragment starts with the JP2 signature
+  // box, walk the ISO box structure to the 'jp2c' contiguous-codestream
+  // box and decode from there.
+  static const uint8_t kJp2Sig[12] = {0x00, 0x00, 0x00, 0x0C, 0x6A, 0x50,
+                                      0x20, 0x20, 0x0D, 0x0A, 0x87, 0x0A};
+  if (len >= 12 && memcmp(data, kJp2Sig, 12) == 0) {
+    size_t boff = 12;
+    bool found = false;
+    while (boff + 8 <= len) {
+      uint64_t blen = (static_cast<uint64_t>(data[boff]) << 24) |
+                      (static_cast<uint64_t>(data[boff + 1]) << 16) |
+                      (static_cast<uint64_t>(data[boff + 2]) << 8) |
+                      data[boff + 3];
+      const uint8_t* btype = data + boff + 4;
+      size_t hdr = 8;
+      if (blen == 1) {  // extended 64-bit length
+        if (boff + 16 > len) break;
+        blen = 0;
+        for (int k = 0; k < 8; ++k) blen = (blen << 8) | data[boff + 8 + k];
+        hdr = 16;
+      } else if (blen == 0) {  // box runs to end of stream
+        blen = len - boff;
+      }
+      if (blen < hdr || blen > len - boff) break;
+      if (memcmp(btype, "jp2c", 4) == 0) {
+        data += boff + hdr;
+        len = static_cast<size_t>(blen - hdr);
+        found = true;
+        break;
+      }
+      boff += static_cast<size_t>(blen);
+    }
+    if (!found) {
+      snprintf(err, err_cap, "JP2 wrapper held no jp2c codestream box");
+      return false;
+    }
+  }
+  if (len < 4 || data[0] != 0xFF || data[1] != 0x4F) {
+    snprintf(err, err_cap, "J2K stream does not start with SOC");
+    return false;
+  }
+  off = 2;
+  J2kParams P;
+  bool have_siz = false, have_cod = false, have_qcd = false;
+  std::vector<J2kTile> tiles;
+  int ntx = 0, nty = 0;
+  bool saw_eoc = false;
+
+  while (off + 2 <= len) {
+    if (data[off] != 0xFF) {
+      snprintf(err, err_cap, "J2K expected marker at offset %zu", off);
+      return false;
+    }
+    const uint8_t m = data[off + 1];
+    off += 2;
+    if (m == 0xD9) {  // EOC
+      saw_eoc = true;
+      break;
+    }
+    if (m == 0x90) {  // SOT — tile-part header
+      if (!have_siz || !have_cod || !have_qcd) {
+        snprintf(err, err_cap, "J2K SOT before SIZ/COD/QCD");
+        return false;
+      }
+      if (off + 10 > len || u16(off - 2 + 2) < 10) {
+        snprintf(err, err_cap, "J2K truncated SOT");
+        return false;
+      }
+      const size_t sot_start = off - 2;
+      const uint32_t lsot = u16(off);
+      const uint32_t isot = u16(off + 2);
+      const uint32_t psot = u32(off + 4);
+      off += lsot;
+      if (lsot != 10 || isot >= tiles.size()) {
+        snprintf(err, err_cap, "J2K SOT: bad Lsot/Isot (tile %u of %zu)",
+                 isot, tiles.size());
+        return false;
+      }
+      // Tile-part header markers until SOD.
+      bool got_sod = false;
+      while (off + 2 <= len) {
+        if (data[off] != 0xFF) {
+          snprintf(err, err_cap, "J2K expected marker in tile-part header");
+          return false;
+        }
+        const uint8_t tm = data[off + 1];
+        off += 2;
+        if (tm == 0x93) {  // SOD
+          got_sod = true;
+          break;
+        }
+        if (off + 2 > len) {
+          snprintf(err, err_cap, "J2K truncated tile-part header");
+          return false;
+        }
+        const uint32_t tl = u16(off);
+        if (tl < 2 || off + tl > len) {
+          snprintf(err, err_cap, "J2K bad marker length in tile-part header");
+          return false;
+        }
+        if (tm == 0x58 || tm == 0x64) {  // PLT, COM: informational
+          off += tl;
+        } else if (tm == 0x52 || tm == 0x5C || tm == 0x53 || tm == 0x5D ||
+                   tm == 0x5F || tm == 0x61) {
+          snprintf(err, err_cap,
+                   "J2K per-tile marker FF%02X (COD/QCD/COC/QCC/POC/PPT "
+                   "override) unsupported",
+                   tm);
+          return false;
+        } else {
+          snprintf(err, err_cap, "J2K unexpected marker FF%02X in tile-part",
+                   tm);
+          return false;
+        }
+      }
+      if (!got_sod) {
+        snprintf(err, err_cap, "J2K tile-part without SOD");
+        return false;
+      }
+      size_t data_end;
+      if (psot == 0) {
+        // Last tile-part: data runs to just before EOC.
+        data_end = len >= 2 && data[len - 2] == 0xFF && data[len - 1] == 0xD9
+                       ? len - 2
+                       : len;
+      } else {
+        data_end = sot_start + psot;
+        if (data_end > len || data_end < off) {
+          snprintf(err, err_cap, "J2K Psot %u out of bounds", psot);
+          return false;
+        }
+      }
+      tiles[isot].data.insert(tiles[isot].data.end(), data + off,
+                              data + data_end);
+      off = data_end;
+      if (psot == 0) {
+        saw_eoc = data_end != len;
+        break;
+      }
+      continue;
+    }
+    // Main-header marker segment with a length field.
+    if (off + 2 > len) {
+      snprintf(err, err_cap, "J2K truncated marker FF%02X", m);
+      return false;
+    }
+    const uint32_t l = u16(off);
+    if (l < 2 || off + l > len) {
+      snprintf(err, err_cap, "J2K bad length for marker FF%02X", m);
+      return false;
+    }
+    const uint8_t* seg = data + off + 2;
+    const uint32_t body = l - 2;
+    if (m == 0x51) {  // SIZ
+      if (body < 36 + 3) {
+        snprintf(err, err_cap, "J2K SIZ too short");
+        return false;
+      }
+      P.xsiz = u32(off + 4);
+      P.ysiz = u32(off + 8);
+      P.xosiz = u32(off + 12);
+      P.yosiz = u32(off + 16);
+      P.xtsiz = u32(off + 20);
+      P.ytsiz = u32(off + 24);
+      P.xtosiz = u32(off + 28);
+      P.ytosiz = u32(off + 32);
+      const uint32_t csiz = u16(off + 36);
+      if (csiz != 1) {
+        snprintf(err, err_cap,
+                 "J2K %u components unsupported (grayscale only)", csiz);
+        return false;
+      }
+      const uint8_t ssiz = seg[36];
+      if (ssiz & 0x80) {
+        snprintf(err, err_cap, "J2K signed samples unsupported");
+        return false;
+      }
+      P.depth = (ssiz & 0x7F) + 1;
+      if (seg[37] != 1 || seg[38] != 1) {
+        snprintf(err, err_cap, "J2K component subsampling unsupported");
+        return false;
+      }
+      if (P.depth < 2 || P.depth > 16 ||
+          static_cast<uint32_t>(P.depth) > bps * 8) {
+        snprintf(err, err_cap,
+                 "J2K depth %d incompatible with BitsAllocated %u", P.depth,
+                 bps * 8);
+        return false;
+      }
+      if (P.xsiz <= P.xosiz || P.ysiz <= P.yosiz ||
+          P.xsiz - P.xosiz != cols || P.ysiz - P.yosiz != rows) {
+        snprintf(err, err_cap,
+                 "J2K canvas %ux%u (origin %u,%u) disagrees with "
+                 "Rows/Columns %ux%u",
+                 P.xsiz, P.ysiz, P.xosiz, P.yosiz, rows, cols);
+        return false;
+      }
+      if (P.xtsiz == 0 || P.ytsiz == 0 || P.xtosiz > P.xosiz ||
+          P.ytosiz > P.yosiz || P.xtosiz + P.xtsiz <= P.xosiz ||
+          P.ytosiz + P.ytsiz <= P.yosiz) {
+        snprintf(err, err_cap, "J2K invalid tile grid");
+        return false;
+      }
+      ntx = static_cast<int>(
+          j2k_ceil_div(static_cast<int64_t>(P.xsiz) - P.xtosiz, P.xtsiz));
+      nty = static_cast<int>(
+          j2k_ceil_div(static_cast<int64_t>(P.ysiz) - P.ytosiz, P.ytsiz));
+      if (ntx <= 0 || nty <= 0 || static_cast<int64_t>(ntx) * nty > 65535) {
+        snprintf(err, err_cap, "J2K tile count out of range");
+        return false;
+      }
+      tiles.assign(static_cast<size_t>(ntx) * nty, J2kTile{});
+      for (int tj = 0; tj < nty; ++tj) {
+        for (int ti = 0; ti < ntx; ++ti) {
+          J2kTile& t = tiles[static_cast<size_t>(tj) * ntx + ti];
+          const uint64_t x0 = P.xtosiz + static_cast<uint64_t>(ti) * P.xtsiz;
+          const uint64_t y0 = P.ytosiz + static_cast<uint64_t>(tj) * P.ytsiz;
+          t.x0 = static_cast<uint32_t>(x0 > P.xosiz ? x0 : P.xosiz);
+          t.y0 = static_cast<uint32_t>(y0 > P.yosiz ? y0 : P.yosiz);
+          t.x1 = static_cast<uint32_t>(
+              x0 + P.xtsiz < P.xsiz ? x0 + P.xtsiz : P.xsiz);
+          t.y1 = static_cast<uint32_t>(
+              y0 + P.ytsiz < P.ysiz ? y0 + P.ytsiz : P.ysiz);
+        }
+      }
+      have_siz = true;
+    } else if (m == 0x52) {  // COD
+      if (body < 10) {
+        snprintf(err, err_cap, "J2K COD too short");
+        return false;
+      }
+      const uint8_t scod = seg[0];
+      P.user_precincts = scod & 1;
+      P.sop = scod & 2;
+      P.eph = scod & 4;
+      P.prog = seg[1];
+      if (P.prog > 4) {
+        snprintf(err, err_cap, "J2K progression order %d invalid", P.prog);
+        return false;
+      }
+      P.layers = static_cast<int>((seg[2] << 8) | seg[3]);
+      if (P.layers < 1) {
+        snprintf(err, err_cap, "J2K zero quality layers");
+        return false;
+      }
+      if (seg[4] != 0) {
+        snprintf(err, err_cap, "J2K multi-component transform unsupported");
+        return false;
+      }
+      P.nl = seg[5];
+      if (P.nl > 32) {
+        snprintf(err, err_cap, "J2K %d decomposition levels > 32", P.nl);
+        return false;
+      }
+      P.xcb = (seg[6] & 0x0F) + 2;
+      P.ycb = (seg[7] & 0x0F) + 2;
+      if (P.xcb > 10 || P.ycb > 10 || P.xcb + P.ycb > 12) {
+        snprintf(err, err_cap, "J2K codeblock %dx%d exponents illegal", P.xcb,
+                 P.ycb);
+        return false;
+      }
+      P.cb_style = seg[8];
+      if (P.cb_style & 0x01) {
+        snprintf(err, err_cap,
+                 "J2K selective arithmetic bypass style unsupported");
+        return false;
+      }
+      if (P.cb_style & 0x04) {
+        snprintf(err, err_cap,
+                 "J2K terminate-each-pass style unsupported");
+        return false;
+      }
+      if (seg[9] != 1) {
+        snprintf(err, err_cap,
+                 "J2K irreversible 9/7 wavelet refused under the "
+                 "Lossless-Only transfer syntax (expected 5/3)");
+        return false;
+      }
+      if (P.user_precincts) {
+        if (body < 10u + P.nl + 1) {
+          snprintf(err, err_cap, "J2K COD precinct list truncated");
+          return false;
+        }
+        P.prec_sizes.assign(seg + 10, seg + 10 + P.nl + 1);
+      }
+      have_cod = true;
+    } else if (m == 0x5C) {  // QCD
+      if (body < 1) {
+        snprintf(err, err_cap, "J2K QCD too short");
+        return false;
+      }
+      const int style = seg[0] & 0x1F;
+      P.guard = seg[0] >> 5;
+      if (style != 0) {
+        snprintf(err, err_cap,
+                 "J2K quantization style %d unsupported (reversible "
+                 "streams carry style 0)",
+                 style);
+        return false;
+      }
+      P.band_eps.clear();
+      for (uint32_t i = 1; i < body; ++i) P.band_eps.push_back(seg[i] >> 3);
+      have_qcd = true;
+    } else if (m == 0x64 || m == 0x55 || m == 0x57 || m == 0x58 ||
+               m == 0x63) {  // COM, TLM, PLM, PLT, CRG: informational
+      // skip
+    } else if (m == 0x53 || m == 0x5D || m == 0x5E || m == 0x5F ||
+               m == 0x60 || m == 0x61) {
+      snprintf(err, err_cap,
+               "J2K marker FF%02X (COC/QCC/RGN/POC/PPM/PPT) unsupported", m);
+      return false;
+    } else {
+      snprintf(err, err_cap, "J2K unknown marker FF%02X in main header", m);
+      return false;
+    }
+    off += l;
+  }
+  if (!have_siz || !have_cod || !have_qcd) {
+    snprintf(err, err_cap, "J2K codestream missing SIZ/COD/QCD");
+    return false;
+  }
+  if (!saw_eoc) {
+    snprintf(err, err_cap, "J2K codestream ended without EOC");
+    return false;
+  }
+
+  const int32_t dc = 1 << (P.depth - 1);
+  const int32_t vmax = (1 << P.depth) - 1;
+  for (size_t ti = 0; ti < tiles.size(); ++ti) {
+    J2kTile& t = tiles[ti];
+    if (t.x1 <= t.x0 || t.y1 <= t.y0) continue;
+    if (!j2k_build_tile(P, &t, err, err_cap)) return false;
+    if (!j2k_read_packets(P, t, err, err_cap)) return false;
+    std::vector<int32_t> img;
+    if (!j2k_decode_tile(P, t, &img, err, err_cap)) return false;
+    t.data.clear();
+    t.data.shrink_to_fit();
+    const int64_t tw = static_cast<int64_t>(t.x1) - t.x0;
+    for (uint32_t v = t.y0; v < t.y1; ++v) {
+      for (uint32_t u = t.x0; u < t.x1; ++u) {
+        int32_t s = img[static_cast<size_t>(v - t.y0) * tw + (u - t.x0)] + dc;
+        if (s < 0) s = 0;
+        if (s > vmax) s = vmax;
+        const size_t oi = (static_cast<size_t>(v - P.yosiz) * cols +
+                           (u - P.xosiz)) * bps;
+        out[oi] = static_cast<uint8_t>(s & 0xFF);
+        if (bps == 2) out[oi + 1] = static_cast<uint8_t>((s >> 8) & 0xFF);
+      }
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1677,12 +3085,15 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
         const bool is_jdct =
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.50") == 0 ||
             strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.51") == 0;
-        if (!is_rle && !is_jpegll && !is_jls && !is_jdct) {
+        const bool is_j2k =
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.90") == 0 ||
+            strcmp(result->transfer_syntax, "1.2.840.10008.1.2.4.91") == 0;
+        if (!is_rle && !is_jpegll && !is_jls && !is_jdct && !is_j2k) {
           snprintf(result->error, sizeof(result->error),
                    "encapsulated pixel data in unsupported transfer syntax "
                    "%s (%s); supported: uncompressed little-endian, RLE "
                    "Lossless, JPEG (baseline, extended, lossless 14), "
-                   "JPEG-LS",
+                   "JPEG-LS, JPEG 2000 (reversible)",
                    result->transfer_syntax[0] ? result->transfer_syntax
                                               : "(missing 0002,0010)",
                    syntax_name(result->transfer_syntax));
@@ -1714,7 +3125,7 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
             return 4;
           }
           if (item_index++ > 0 &&
-              (is_jpegll || is_jls || is_jdct || stream.empty())) {
+              (is_jpegll || is_jls || is_jdct || is_j2k || stream.empty())) {
             stream.insert(stream.end(), c.p + c.off, c.p + c.off + l2);
           }
           c.off += l2;
@@ -1742,6 +3153,10 @@ int mcgmil_dicom_read(const char* path, DicomResult* result) {
                               jls_lossless_uid, err, sizeof(err));
         } else if (is_jdct) {
           ok = jpeg_dct_decode(stream.data(), stream.size(), result->pixels,
+                               result->rows, result->cols, bps, err,
+                               sizeof(err));
+        } else if (is_j2k) {
+          ok = jpeg2000_decode(stream.data(), stream.size(), result->pixels,
                                result->rows, result->cols, bps, err,
                                sizeof(err));
         } else {
