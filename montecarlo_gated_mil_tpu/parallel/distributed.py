@@ -82,8 +82,14 @@ def allgather_fold_accuracies(
     else:
         from jax.experimental import multihost_utils
 
-        gathered = np.asarray(
-            multihost_utils.process_allgather(local)
+        # Gather the f64 vector as its uint32 bit pattern: process_allgather
+        # jits an identity, and with jax_enable_x64 off that DEMOTES f64 to
+        # f32 — the merged table would silently disagree with a
+        # single-process run of the same folds (e.g. 2/3 gathers as
+        # 0.66666668653...).  uint32 rides the collective unchanged.
+        gathered = (
+            np.asarray(multihost_utils.process_allgather(local.view(np.uint32)))
+            .view(np.float64)
         )  # (P, num_folds)
         merged = np.full((num_folds,), np.nan, np.float64)
         for row in gathered:

@@ -225,6 +225,15 @@ class Checkpointer:
     ``async_save=True`` lets Orbax write in the background so the epoch
     loop never blocks on checkpoint IO (useful for long CV sweeps);
     ``wait()``/``close()``/``latest_step()``/``restore()`` synchronize.
+
+    Under multi-process fold fan-out (``parallel/distributed.py``) each
+    process trains DIFFERENT folds, so checkpoints are process-local:
+    Orbax's default cross-process barriers would pair unrelated saves
+    (or deadlock outright when processes run unequal fold counts).  With
+    ``jax.process_count() > 1`` the manager is therefore restricted to
+    this process alone (``active_processes={index}``); params under the
+    fan-out live wholly on local devices, so no cross-process array
+    gather is ever needed at save time.
     """
 
     def __init__(self, directory: str, *, async_save: bool = False):
@@ -234,7 +243,53 @@ class Checkpointer:
         self.async_save = async_save
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._mgr = ocp.CheckpointManager(self.directory)
+        self._mp_options = None
+        options = None
+        if jax.process_count() > 1:
+            idx = jax.process_index()
+            self._mp_options = ocp.options.MultiprocessingOptions(
+                primary_host=idx,
+                active_processes={idx},
+                barrier_sync_key_prefix=f"foldproc{idx}",
+            )
+            options = ocp.CheckpointManagerOptions(
+                multiprocessing_options=self._mp_options,
+                # orbax refuses create=True with active_processes; the
+                # makedirs above already created the root.
+                create=False,
+                # async directory creation signals through the GLOBAL
+                # distributed KV store (ignores active_processes) and
+                # deadlocks when sibling processes save different steps.
+                async_options=ocp.options.AsyncOptions(
+                    create_directories_asynchronously=False
+                ),
+            )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def _standard_checkpointer(self):
+        """StandardCheckpointer with the same process-locality as the
+        manager (its default barriers span all processes)."""
+        if self._mp_options is None:
+            return self._ocp.StandardCheckpointer()
+        return self._ocp.StandardCheckpointer(
+            multiprocessing_options=self._mp_options,
+            async_options=self._ocp.options.AsyncOptions(
+                create_directories_asynchronously=False
+            ),
+        )
+
+    def _to_host(self, tree):
+        """Process-local mode: orbax refuses host-local jax.Arrays when
+        jax.process_count() > 1 (it assumes global arrays); fold-fan-out
+        states live wholly on this process's devices, so they serialize as
+        numpy instead.  Identity in single-process mode."""
+        if self._mp_options is None:
+            return tree
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+        )
 
     def save(
         self,
@@ -259,11 +314,13 @@ class Checkpointer:
             "has_best": best_params is not None,
         }
         items = dict(
-            state=self._ocp.args.StandardSave(state),
+            state=self._ocp.args.StandardSave(self._to_host(state)),
             meta=self._ocp.args.JsonSave(meta),
         )
         if best_params is not None:
-            items["best"] = self._ocp.args.StandardSave(best_params)
+            items["best"] = self._ocp.args.StandardSave(
+                self._to_host(best_params)
+            )
         saved = self._mgr.save(step, args=self._ocp.args.Composite(**items))
         if not saved:
             # Orbax SILENTLY skips a save onto an existing step (returns
@@ -309,6 +366,7 @@ class Checkpointer:
         meta = self._mgr.restore(
             step, args=self._ocp.args.Composite(meta=self._ocp.args.JsonRestore())
         )["meta"]
+        state_like = self._to_host(state_like)
         items = dict(state=self._ocp.args.StandardRestore(state_like))
         if meta.get("has_best"):
             items["best"] = self._ocp.args.StandardRestore(state_like.params)
@@ -321,8 +379,8 @@ class Checkpointer:
         a pinned ``model_id`` name legitimately re-saves after a resumed
         run (the reference's torch.save overwrites too)."""
         path = os.path.join(self.directory, name)
-        ckpt = self._ocp.StandardCheckpointer()
-        ckpt.save(path, params, force=True)
+        ckpt = self._standard_checkpointer()
+        ckpt.save(path, self._to_host(params), force=True)
         ckpt.wait_until_finished()
         return path
 
@@ -332,8 +390,8 @@ class Checkpointer:
             if os.path.isabs(name_or_path)
             else os.path.join(self.directory, name_or_path)
         )
-        ckpt = self._ocp.StandardCheckpointer()
-        return ckpt.restore(path, target=params_like)
+        ckpt = self._standard_checkpointer()
+        return ckpt.restore(path, target=self._to_host(params_like))
 
     def close(self):
         self._mgr.close()
