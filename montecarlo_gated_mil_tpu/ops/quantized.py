@@ -475,9 +475,12 @@ def quantized_embed_static(
     # the full-resolution 112^2 activation is never materialized (measured
     # 2.19 -> 1.58 ms for the stem epilogue, bit-identical output —
     # quantization is monotone, so it commutes with max;
-    # tools/profile_int8.py).
+    # tools/profile_int8.py).  The requant reciprocal folds INTO the BN
+    # affine (positive per-channel scaling commutes with relu and max), so
+    # the epilogue is one fused multiply-add per element — no post-pool
+    # divide (round-5 epilogue-thinning pass, tools/profile_int8.py).
     b1 = qparams["layer1_0"]["in_scale"]
-    a0 = jnp.maximum(t.astype(jnp.float32) * se + be, 0.0)
+    a0 = jnp.maximum(t.astype(jnp.float32) * (se / b1) + be / b1, 0.0)
     pooled = jax.lax.reduce_window(
         a0,
         -jnp.inf,
@@ -486,15 +489,17 @@ def quantized_embed_static(
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    x_q = jnp.clip(jnp.round(pooled / b1), -127, 127).astype(jnp.int8)
+    x_q = jnp.clip(jnp.round(pooled), -127, 127).astype(jnp.int8)
     x_scale = b1  # dequant scale of x_q
 
     store = qparams.get("conv_store", "bf16")
 
     def norm_relu_quant(tl, bn, scale):
+        # Same folding: relu(t*se+be)/scale == relu(t*(se/scale)+be/scale)
+        # for positive per-channel scale — one multiply-add per element.
         se, be = _bn_affine(tl, bn, mask)
-        a = jnp.maximum(tl * se + be, 0.0)
-        return jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+        a = jnp.maximum(tl * (se / scale) + be / scale, 0.0)
+        return jnp.clip(jnp.round(a), -127, 127).astype(jnp.int8)
 
     stages, bottleneck = _STAGES[backbone]
     for stage, blocks in enumerate(stages, start=1):
@@ -523,6 +528,11 @@ def quantized_embed_static(
                     _qconv_stored(m1, q["conv2"], 1, 1, store), q["conv2"], store
                 )
                 sef, bef = _bn_affine(tf, q["bn2"], mask)
+            last = stage == len(stages) and blk_i == blocks - 1
+            # Fold the requant reciprocal into every affine feeding the
+            # residual sum (relu commutes with the positive scaling); the
+            # last block returns unscaled features, so it keeps inv=1.
+            inv = 1.0 if last else 1.0 / q["out_scale"]
             if "downsample_conv" in q:
                 d = _load_t(
                     _qconv_stored(x_q, q["downsample_conv"], stride, 0, store),
@@ -530,15 +540,12 @@ def quantized_embed_static(
                     store,
                 )
                 sed, bed = _bn_affine(d, q["downsample_bn"], mask)
-                identity = d * sed + bed
+                identity = d * (sed * inv) + bed * inv
             else:
-                identity = x_q.astype(jnp.float32) * x_scale
-            xr = jnp.maximum(tf * sef + bef + identity, 0.0)
-            last = stage == len(stages) and blk_i == blocks - 1
+                identity = x_q.astype(jnp.float32) * (x_scale * inv)
+            xr = jnp.maximum(tf * (sef * inv) + bef * inv + identity, 0.0)
             if last:
                 return jnp.mean(xr, axis=(1, 2))
-            x_q = jnp.clip(jnp.round(xr / q["out_scale"]), -127, 127).astype(
-                jnp.int8
-            )
+            x_q = jnp.clip(jnp.round(xr), -127, 127).astype(jnp.int8)
             x_scale = q["out_scale"]
     raise AssertionError("unreachable")
