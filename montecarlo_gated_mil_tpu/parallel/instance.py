@@ -82,6 +82,53 @@ def sharded_embed(
     return f(patches, mask)
 
 
+def sharded_embed_grad(
+    model,
+    feat_params,
+    patches: Array,
+    mask: Array,
+    mesh: Mesh,
+    axis: str = "inst",
+) -> Array:
+    """Differentiable twin of :func:`sharded_embed` for the TRAINING path.
+
+    The parameters enter the ``shard_map`` as an explicit replicated
+    argument (``P()``) instead of a closure capture, so reverse-mode AD has
+    a transpose: each shard backpropagates its instance slice and the
+    parameter cotangents ``psum`` across ``axis`` — the gradient equals the
+    single-device embed's up to float reduction order (pinned by
+    tests/test_train.py::test_sharded_train_step_matches_sequential).
+
+    Args:
+      feat_params: the backbone subtree (``params["features"]``).
+      patches: ``(N, h, w, 3)``, N divisible by the ``axis`` size.
+    Returns ``H (N, L)``, sharded on N.
+    """
+    from montecarlo_gated_mil_tpu.models.resnet import make_backbone
+
+    n = patches.shape[0]
+    size = mesh.shape[axis]
+    if n % size:
+        raise ValueError(f"instance count {n} not divisible by {axis}={size}")
+    backbone = make_backbone(
+        model.backbone,
+        dtype=model.dtype,
+        space_to_depth=getattr(model, "space_to_depth", False),
+        bn_axis_name=axis,
+    )
+
+    def block(fp, p_blk: Array, m_blk: Array) -> Array:
+        return backbone.apply({"params": fp}, p_blk, m_blk)
+
+    f = jax.shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None, None, None), P(axis)),
+        out_specs=P(axis, None),
+    )
+    return f(feat_params, patches, mask)
+
+
 def mc_inference_sharded(
     model,
     params,

@@ -56,6 +56,7 @@ from montecarlo_gated_mil_tpu.train.state import (
     EarlyStopping,
     TrainState,
     make_train_step,
+    make_train_step_sharded,
 )
 from montecarlo_gated_mil_tpu.utils.metrics import Metrics
 
@@ -184,6 +185,12 @@ def _fit(
         and jax.process_count() == 1
         and jax.device_count() > 1
     )
+    # Oversized-bag training route (the training twin of the eval loops'
+    # shard_over routing): bags padded past the largest bucket embed
+    # instance-sharded over all local devices instead of whole on one chip.
+    from montecarlo_gated_mil_tpu.train.loops import _instance_mesh
+
+    inst_mesh = _instance_mesh()
     if use_dp:
         from montecarlo_gated_mil_tpu.parallel.dp import make_dp_train_step
         from montecarlo_gated_mil_tpu.parallel.mesh import make_mesh
@@ -193,12 +200,30 @@ def _fit(
         dp_step, dp_apply = make_dp_train_step(
             model, criterion, optimizer, mesh, donate=cfg.tpu.donate_buffers
         )
+        sharded_step = (
+            make_train_step_sharded(
+                model, criterion, optimizer,
+                cfg.training_plan.parameters.grad_acc_steps,
+                inst_mesh, mean_scaling=True,
+            )
+            if inst_mesh is not None
+            else None
+        )
     else:
         step_fn = make_train_step(
             model, criterion, optimizer,
             cfg.training_plan.parameters.grad_acc_steps,
             use_pallas=cfg.tpu.use_pallas_train and _use_pallas(cfg),
             donate=cfg.tpu.donate_buffers,
+        )
+        sharded_step = (
+            make_train_step_sharded(
+                model, criterion, optimizer,
+                cfg.training_plan.parameters.grad_acc_steps,
+                inst_mesh, mean_scaling=False,
+            )
+            if inst_mesh is not None
+            else None
         )
     stopper = EarlyStopping(cfg.training_plan.parameters.patience, metrics.scoped(fold))
     train_key = rnglib.named_key(rnglib.root_key(cfg.seed), "train-dropout")
@@ -236,6 +261,8 @@ def _fit(
                 key=train_key,
                 metrics=metrics,
                 fold=fold,
+                sharded_step_fn=sharded_step,
+                shard_over=_shard_over(cfg),
             )
         else:
             state = train_epoch(
@@ -247,6 +274,8 @@ def _fit(
                 key=train_key,
                 metrics=metrics,
                 fold=fold,
+                sharded_step_fn=sharded_step,
+                shard_over=_shard_over(cfg),
             )
         if cfg.is_mcdo_val:
             val_loss = mc_validate(

@@ -289,14 +289,30 @@ def train_epoch(
     key: jax.Array,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    sharded_step_fn=None,
+    shard_over: int | None = None,
 ) -> TrainState:
-    """One epoch of gradient-accumulated training (spec above)."""
+    """One epoch of gradient-accumulated training (spec above).
+
+    ``sharded_step_fn`` + ``shard_over``: OVERSIZED bags (bucket above
+    ``shard_over``, the loader's ``oversized_bags='extend'`` output) train
+    through the instance-sharded step
+    (``train/state.py::make_train_step_sharded``) instead of embedding the
+    whole extended bucket on one chip — the same routing the eval loops
+    apply.  The two steps share the ``TrainState`` accumulator contract, so
+    routing is per-bag and mid-accumulation-group safe."""
     running_loss = running_aux = correct = total = 0.0
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for batch_idx, ((bag, _rec), is_last) in enumerate(_with_last_flag(items)):
         k = jax.random.fold_in(jax.random.fold_in(key, epoch), batch_idx)
         do_update = ((batch_idx + 1) % accumulation_steps == 0) or is_last
-        state, out = step_fn(state, bag, k, jnp.asarray(do_update))
+        fn = step_fn
+        if (
+            sharded_step_fn is not None
+            and _shard_mesh_for(bag.bucket, shard_over) is not None
+        ):
+            fn = sharded_step_fn
+        state, out = fn(state, bag, k, jnp.asarray(do_update))
         running_loss += float(out["loss"])
         running_aux += float(out["aux_loss"])
         correct += float(out["correct"])
@@ -326,6 +342,8 @@ def train_epoch_dp(
     key: jax.Array,
     metrics: Metrics | None = None,
     fold: int | None = None,
+    sharded_step_fn=None,
+    shard_over: int | None = None,
 ) -> TrainState:
     """One epoch of data-parallel training over the device mesh.
 
@@ -372,6 +390,28 @@ def train_epoch_dp(
     batcher = BucketBatcher(batch)
     items = loader.epoch(epoch) if hasattr(loader, "epoch") else iter(loader)
     for i, (bag, _rec) in enumerate(items):
+        if (
+            sharded_step_fn is not None
+            and _shard_mesh_for(bag.bucket, shard_over) is not None
+        ):
+            # OVERSIZED bag: never enters the batcher (a mesh-sized group of
+            # one extended bucket would pad batch-1 zero-weight repeats of a
+            # huge bag); it trains instance-sharded over the same devices.
+            # The sharded step shares the dp accumulator contract
+            # (unscaled grad sums + acc_count; mean applied at update), so
+            # interleaving with grouped dp steps is exact.
+            pending += 1
+            do_update = pending >= accumulation_steps
+            state, out1 = sharded_step_fn(
+                state, bag, jax.random.fold_in(ekey, i), jnp.asarray(do_update)
+            )
+            if do_update:
+                pending = 0
+            running_loss += float(out1["loss"])
+            running_aux += float(out1["aux_loss"])
+            correct += float(out1["correct"])
+            total += 1
+            continue
         for group in batcher.add(bag, i):
             state, pending, out = flush(group, state, pending)
             running_loss += float(out["loss_sum"])

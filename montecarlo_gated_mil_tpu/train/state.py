@@ -178,6 +178,99 @@ def make_train_step(
     return step
 
 
+def make_train_step_sharded(
+    model,
+    criterion: Callable[[Array, Array], Array],
+    optimizer: optax.GradientTransformation,
+    accumulation_steps: int,
+    mesh,
+    *,
+    mean_scaling: bool = False,
+):
+    """Instance-sharded training step for OVERSIZED bags (training twin of
+    the eval routing in ``train/loops.py::_shard_mesh_for``).
+
+    A bag whose tile count exceeds the largest registry bucket arrives as an
+    extended bucket (``BucketSpec.extended_bucket``); embedding it whole on
+    one chip is the training-path HBM cliff VERDICT r04 flagged.  Here the
+    embed — ~97% of the step's FLOPs and all of its activation memory —
+    runs under ``shard_map`` with the instance axis split over ``mesh``'s
+    ``inst`` axis (per-bag BN statistics ``psum`` across shards,
+    ``parallel/instance.py::sharded_embed_grad``), and the tiny head runs
+    on the gathered ``(N, L)`` features with the SAME dropout key structure
+    as the sequential step, so dropout draws are identical.
+
+    Accumulator contract matches the host loop that drives it:
+
+    - ``mean_scaling=False`` (sequential ``train_epoch``): loss is divided
+      by the static ``accumulation_steps`` and the update applies the
+      accumulated sum — interchangeable mid-epoch with
+      :func:`make_train_step`'s state.
+    - ``mean_scaling=True`` (``train_epoch_dp``): raw-loss gradients are
+      summed and ``acc_count`` counts bags; the update applies the mean —
+      interchangeable with ``parallel/dp.py::make_dp_train_step``'s state.
+
+    No buffer donation: the step is the rare path and its output shardings
+    follow GSPMD propagation from the mesh, where donation would be
+    silently dropped anyway.
+    """
+    from montecarlo_gated_mil_tpu.models.gamil import auxiliary_loss
+    from montecarlo_gated_mil_tpu.parallel.instance import sharded_embed_grad
+
+    def loss_fn(params, bag: Bag, key):
+        H = sharded_embed_grad(
+            model, params["features"], bag.patches, bag.mask, mesh
+        )
+        y, a = model.apply(
+            {"params": params},
+            H,
+            bag.mask,
+            train=True,
+            method="head",
+            rngs={"dropout": key},
+        )
+        aux = model.aux_scale * auxiliary_loss(
+            a[1], a[0], bag.label == 1,
+            loss_type=model.aux_loss_type, margin=model.aux_margin,
+        )
+        loss = criterion(y[None, :], bag.label[None]) + aux
+        correct = (jnp.argmax(y) == bag.label).astype(jnp.float32)
+        scale = 1.0 if mean_scaling else 1.0 / accumulation_steps
+        return loss * scale, (loss, aux, correct)
+
+    @jax.jit
+    def step(state: TrainState, bag: Bag, key: Array, do_update: Array):
+        grads, (loss, aux, correct) = jax.grad(loss_fn, has_aux=True)(
+            state.params, bag, key
+        )
+        grad_acc = jax.tree.map(jnp.add, state.grad_acc, grads)
+        acc_count = state.acc_count + 1
+
+        def apply(_):
+            if mean_scaling:
+                denom = jnp.maximum(acc_count, 1).astype(jnp.float32)
+                eff = jax.tree.map(lambda g: g / denom, grad_acc)
+            else:
+                eff = grad_acc
+            updates, new_opt = optimizer.update(eff, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(
+                params=new_params,
+                opt_state=new_opt,
+                grad_acc=jax.tree.map(jnp.zeros_like, grad_acc),
+                acc_count=jnp.asarray(0, jnp.int32),
+                step=state.step + 1,
+            )
+
+        def hold(_):
+            return replace(state, grad_acc=grad_acc, acc_count=acc_count)
+
+        new_state = jax.lax.cond(do_update, apply, hold, None)
+        return new_state, {"loss": loss, "aux_loss": aux, "correct": correct}
+
+    return step
+
+
 class EarlyStopping:
     """Reference-semantics early stopping (``net_utils.py:232-261``)."""
 
