@@ -39,6 +39,14 @@ from montecarlo_gated_mil_tpu.ops.masked import masked_softmax
 
 Array = jax.Array
 
+# The kernel keeps the whole (N, L) bag VMEM-resident across the T-grid, so
+# its working set grows linearly in N and hits the 16M scoped-vmem stack
+# between N=4096 (compiles, measured) and N=6144 (XLA refuses: "Scoped
+# allocation with size 18.33M and limit 16.00M" — tools/measure_hbm.py,
+# docs/PERFORMANCE.md §HBM envelope).  4096 is the guaranteed-safe static
+# ceiling; eval loops and serving fall back to the jnp head above it.
+FUSED_HEAD_MAX_N = 4096
+
 _MASK_FILL = -1e30
 _INV_2_24 = float(2.0**-24)
 
@@ -847,6 +855,16 @@ def mc_gated_attention_fused(
     n, l = H.shape
     if n % 8:
         raise ValueError(f"bucket size N={n} must be a multiple of 8 (TPU sublanes)")
+    if n > FUSED_HEAD_MAX_N:
+        raise ValueError(
+            f"bucket size N={n} exceeds the fused head's VMEM ceiling "
+            f"({FUSED_HEAD_MAX_N}): the kernel keeps the whole (N, {l}) bag "
+            "resident on-core and XLA refuses the scoped-vmem allocation "
+            "past ~5.3k tiles (measured: 18.33M needed vs the 16M limit at "
+            "N=6144 — docs/PERFORMANCE.md §HBM envelope). Use the jnp head "
+            "(mcdo.sampling.mc_head) or instance sharding for bags this "
+            "large; eval loops and serving fall back automatically."
+        )
     seeds = jnp.asarray(seed, jnp.int32) + jnp.arange(num_samples, dtype=jnp.int32)
     mask_f = mask.astype(jnp.float32)[:, None]
     if params.separate:

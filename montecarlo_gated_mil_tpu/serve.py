@@ -283,7 +283,16 @@ class MCDOPredictor:
                     attention_stats(a, bag.mask),
                 )
             H = self._embed(bag.patches, bag.mask)
-            if self._kernel_params is not None:
+            from montecarlo_gated_mil_tpu.ops.gated_attention import (
+                FUSED_HEAD_MAX_N,
+            )
+
+            # static-shape condition: past the kernel's VMEM ceiling the
+            # fused program would be refused at compile time — jnp head
+            if (
+                self._kernel_params is not None
+                and bag.patches.shape[0] <= FUSED_HEAD_MAX_N
+            ):
                 y, a = mc_gated_attention_fused(
                     H,
                     bag.mask,

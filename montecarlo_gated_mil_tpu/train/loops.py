@@ -59,6 +59,57 @@ def _shard_mesh_for(bucket: int, shard_over: int | None):
     return mesh
 
 
+# Measured training-step HBM temp per input element (bf16 embed fwd+bwd
+# with XLA's remat, CE+aux, Adam): 52.8 B/elem at bucket 1024x224px, linear
+# in the bucket (tools/measure_hbm.py, r05) — rounded up to 56 for margin.
+# The XLA:TPU compiler REFUSES programs over HBM at compile time with an
+# opaque dump; this predicts that refusal and says what to do instead.
+_TRAIN_TEMP_BYTES_PER_INPUT_ELEM = 56.0
+
+
+def _check_unrouted_train_bag(bag, shard_over: int | None) -> None:
+    """Fail fast (actionably) when an OVERSIZED training bag could not route
+    to the instance-sharded step and would not fit one chip's HBM.
+
+    Routing can fail on a single device, under multi-process fold fan-out,
+    or when the extended bucket is not divisible by the device count
+    (``_shard_mesh_for``).  Training an extended bucket whole on one chip is
+    then the only remaining plan, and past ~1024 tiles at 224px it exceeds a
+    16 GB v5e — the compiler would refuse with a 200-line allocation dump
+    (docs/PERFORMANCE.md §HBM envelope); this raises the short version.
+    """
+    if shard_over is None or bag.bucket <= shard_over:
+        return
+    import os
+
+    env = os.environ.get("MCGMIL_HBM_LIMIT_BYTES")
+    if env is not None:
+        limit = float(env)
+    else:
+        dev = jax.devices()[0]
+        if dev.platform != "tpu":
+            return  # CPU/GPU hosts page; the measured envelope is TPU's
+        stats = (getattr(dev, "memory_stats", lambda: None)() or {})
+        limit = float(stats.get("bytes_limit", 16 * 1024**3))
+    est = (
+        bag.patches.size * _TRAIN_TEMP_BYTES_PER_INPUT_ELEM
+        + bag.patches.nbytes
+        + (1 << 29)  # params + optimizer + accumulator headroom
+    )
+    if est > 0.95 * limit:
+        raise ValueError(
+            f"oversized training bag (bucket {bag.bucket}, patches "
+            f"{tuple(bag.patches.shape)}) needs ~{est / 1024**3:.1f} GB HBM "
+            f"for the training step but the device has "
+            f"{limit / 1024**3:.1f} GB; it could not instance-shard "
+            "(single device, multi-process fold fan-out, or bucket not "
+            "divisible by the device count). Options: run on a multi-device "
+            "mesh (oversized bags then train instance-sharded), reduce the "
+            "tile count (lower overlap, raise empty_threshold), or accept "
+            "truncation with tpu.oversized_bags='truncate'."
+        )
+
+
 def warn_float_shard(quantized: bool = False, use_pallas: bool = False) -> None:
     """Oversized bags evaluate on the exact float instance-sharded path;
     the int8 and fused-Pallas variants are single-chip programs and do not
@@ -185,7 +236,9 @@ def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
         return _mc_val_finish(model, criterion, preds, attn, label)
 
     if use_pallas:
+        from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
+            FUSED_HEAD_MAX_N,
             GatedAttentionParams,
             mc_gated_attention_fused,
         )
@@ -193,6 +246,14 @@ def _mc_val_step(model, criterion, num_samples: int, use_pallas: bool = False):
         @jax.jit
         def f(params, patches, mask, label, key):
             H = model.apply({"params": params}, patches, mask, method="embed")
+            if mask.shape[0] > FUSED_HEAD_MAX_N:
+                # static-shape fallback: past ~5.3k tiles the fused kernel's
+                # VMEM-resident bag exceeds the scoped-vmem stack and XLA
+                # refuses the program (gated_attention.FUSED_HEAD_MAX_N)
+                out = mc_head(
+                    model, {"params": params}, H, mask, num_samples, key
+                )
+                return _finish(out.predictions, out.attention, label)
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
             y, a = mc_gated_attention_fused(
                 H,
@@ -228,7 +289,9 @@ def _mc_test_step(
 
     embed = make_embed_fn(model, quantized)
     if use_pallas:
+        from montecarlo_gated_mil_tpu.mcdo.sampling import mc_head
         from montecarlo_gated_mil_tpu.ops.gated_attention import (
+            FUSED_HEAD_MAX_N,
             GatedAttentionParams,
             mc_gated_attention_fused,
         )
@@ -236,6 +299,13 @@ def _mc_test_step(
         @jax.jit
         def f(params, patches, mask, key):
             H = embed(params, patches, mask)
+            if mask.shape[0] > FUSED_HEAD_MAX_N:
+                # static-shape fallback past the kernel's VMEM ceiling
+                out = mc_head(
+                    model, {"params": params}, H, mask, num_samples, key
+                )
+                probs = jax.nn.softmax(out.predictions, axis=-1)
+                return jnp.argmax(jnp.mean(probs, axis=0))
             seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
             y, _ = mc_gated_attention_fused(
                 H,
@@ -312,6 +382,8 @@ def train_epoch(
             and _shard_mesh_for(bag.bucket, shard_over) is not None
         ):
             fn = sharded_step_fn
+        else:
+            _check_unrouted_train_bag(bag, shard_over)
         state, out = fn(state, bag, k, jnp.asarray(do_update))
         running_loss += float(out["loss"])
         running_aux += float(out["aux_loss"])
@@ -412,6 +484,7 @@ def train_epoch_dp(
             correct += float(out1["correct"])
             total += 1
             continue
+        _check_unrouted_train_bag(bag, shard_over)
         for group in batcher.add(bag, i):
             state, pending, out = flush(group, state, pending)
             running_loss += float(out["loss_sum"])

@@ -108,6 +108,54 @@ def test_kernel_rejects_unaligned_bucket():
         )
 
 
+def test_kernel_rejects_bucket_over_vmem_ceiling():
+    """Past FUSED_HEAD_MAX_N the kernel's VMEM-resident bag exceeds the
+    scoped-vmem stack and XLA would refuse the compile with a 50-line dump
+    (measured at N=6144: 18.33M vs the 16M limit); the wrapper raises the
+    short, actionable version instead."""
+    from montecarlo_gated_mil_tpu.ops.gated_attention import FUSED_HEAD_MAX_N
+
+    key = jax.random.key(0)
+    params = _params(key)
+    n = FUSED_HEAD_MAX_N + 8
+    H = jax.random.normal(key, (n, 128))
+    with pytest.raises(ValueError, match="VMEM ceiling"):
+        mc_gated_attention_fused(
+            H, jnp.ones(n, bool), params, 2, jnp.asarray(0, jnp.int32), 0.0, 0.0,
+            interpret=not ON_TPU,
+        )
+
+
+@pytest.mark.slow
+def test_mc_val_step_falls_back_above_vmem_ceiling():
+    """The fused mc-validate step builder must route buckets above the
+    kernel's VMEM ceiling through the jnp head (numerically identical to the
+    use_pallas=False builder: mc_inference = embed + mc_head, same key)."""
+    from montecarlo_gated_mil_tpu.ops.gated_attention import FUSED_HEAD_MAX_N
+    from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
+    from montecarlo_gated_mil_tpu.train.loops import _mc_val_step
+
+    model = MultiHeadGatedAttentionMIL(
+        backbone="r18", feature_dropout=0.25, attention_dropout=0.25
+    )
+    key = jax.random.key(0)
+    n = FUSED_HEAD_MAX_N + 8
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, 16, 16, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    patches = jax.random.uniform(jax.random.key(1), (n, 16, 16, 3))
+    mask = jnp.arange(n) < n - 3
+    label = jnp.asarray(1, jnp.int32)
+    f_pallas = _mc_val_step(model, cross_entropy, 2, use_pallas=True)
+    f_jnp = _mc_val_step(model, cross_entropy, 2, use_pallas=False)
+    out_p = f_pallas(variables["params"], patches, mask, label, key)
+    out_j = f_jnp(variables["params"], patches, mask, label, key)
+    for a, b in zip(out_p, out_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 @pytest.mark.parametrize("separate", [False, True])
 def test_kernel_gradient_parity_no_dropout(separate):
     """Custom VJP == autodiff of the jnp twin at dropout 0, for gradients

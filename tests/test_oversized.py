@@ -669,3 +669,54 @@ def test_train_epoch_dp_routes_oversized_bags():
     )
     assert routed == [64]
     assert int(state.step) >= 1
+
+
+def test_unrouted_oversized_train_bag_hbm_guard(monkeypatch):
+    """An oversized training bag that cannot instance-shard AND would not
+    fit the device's HBM fails fast with guidance instead of letting the
+    XLA compiler refuse with an allocation dump (r05 HBM envelope)."""
+    from montecarlo_gated_mil_tpu.train.loops import _check_unrouted_train_bag
+
+    big = _oversized_bag(bucket=64, n_valid=49)
+    # not oversized / routing disabled: never raises
+    _check_unrouted_train_bag(big, None)
+    _check_unrouted_train_bag(big, 64)
+    # oversized + a forced tiny HBM limit: actionable refusal
+    monkeypatch.setenv("MCGMIL_HBM_LIMIT_BYTES", str(10 * 1024**2))
+    with pytest.raises(ValueError, match="instance-shard|truncate"):
+        _check_unrouted_train_bag(big, 16)
+    # generous limit: passes
+    monkeypatch.setenv("MCGMIL_HBM_LIMIT_BYTES", str(64 * 1024**3))
+    _check_unrouted_train_bag(big, 16)
+
+
+def test_train_epoch_raises_before_unrouted_oversized_bag(monkeypatch):
+    """The sequential loop applies the guard on the fallthrough path (no
+    sharded step supplied -> the bag would run whole on one device)."""
+    import optax
+
+    from montecarlo_gated_mil_tpu.models import MultiHeadGatedAttentionMIL
+    from montecarlo_gated_mil_tpu.train.criteria import cross_entropy
+    from montecarlo_gated_mil_tpu.train.loops import train_epoch
+    from montecarlo_gated_mil_tpu.train.state import TrainState, make_train_step
+
+    model = MultiHeadGatedAttentionMIL(backbone="r18")
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((8, PATCH, PATCH, 3), jnp.float32),
+        jnp.ones((8,), bool),
+    )
+    opt = optax.sgd(1e-2)
+    step = make_train_step(model, cross_entropy, opt, accumulation_steps=1)
+    monkeypatch.setenv("MCGMIL_HBM_LIMIT_BYTES", str(10 * 1024**2))
+    with pytest.raises(ValueError, match="oversized training bag"):
+        train_epoch(
+            step,
+            TrainState.create(variables["params"], opt),
+            [(_oversized_bag(), None)],
+            epoch=1,
+            accumulation_steps=1,
+            key=key,
+            shard_over=16,  # oversized, but no sharded_step_fn supplied
+        )
