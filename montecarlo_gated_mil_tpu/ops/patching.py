@@ -178,13 +178,18 @@ def gather_tiles_dma(
     nbuf = min(num_buffers, k)
     sh, sw = _bounce_window(p)  # aligned bounce window
 
-    def kernel(starts_ref, img_ref, out_ref):
+    def kernel(ys_ref, xs_ref, img_ref, out_ref):
+        # ys/xs ride as TWO 1-D prefetch operands: a (K, 2) starts array in
+        # SMEM is lane-padded to (K, 128) by Mosaic — 512 B/tile — which
+        # blows the 1 MB SMEM at extended buckets (measured: u8[3145728]
+        # refused at K=6144, the oversized-serving geometry the soak test
+        # drives).  1-D scalar operands stay 4 B/tile.
         t = pl.program_id(0)
 
         def body(scratch, sems):
             def dma(i, slot):
-                y8 = (starts_ref[i, 0] // 8) * 8
-                x128 = (starts_ref[i, 1] // 128) * 128
+                y8 = (ys_ref[i] // 8) * 8
+                x128 = (xs_ref[i] // 128) * 128
                 return pltpu.make_async_copy(
                     img_ref.at[pl.ds(y8, sh), pl.ds(x128, sw)],
                     scratch.at[slot],
@@ -206,8 +211,8 @@ def gather_tiles_dma(
 
                 slot = jax.lax.rem(t, nbuf)
                 dma(t, slot).wait()
-            yr = starts_ref[t, 0] - (starts_ref[t, 0] // 8) * 8
-            xr = starts_ref[t, 1] - (starts_ref[t, 1] // 128) * 128
+            yr = ys_ref[t] - (ys_ref[t] // 8) * 8
+            xr = xs_ref[t] - (xs_ref[t] // 128) * 128
             matched = None
             for y0 in y_rems:
                 for x0 in x_rems:
@@ -240,17 +245,18 @@ def gather_tiles_dma(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(k,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, p, p), lambda t, s: (t, 0, 0)),
+        out_specs=pl.BlockSpec((1, p, p), lambda t, ys, xs: (t, 0, 0)),
     )
+    starts = starts.astype(jnp.int32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k, p, p), image.dtype),
         interpret=interpret,
-    )(starts.astype(jnp.int32), image)
+    )(starts[:, 0], starts[:, 1], image)
 
 
 def _bounce_window(patch_size: int) -> tuple[int, int]:
