@@ -67,14 +67,41 @@ class PredictionResult:
     attention_std_maps: np.ndarray | None = None
 
 
+def _tunneled_runtime() -> bool:
+    """True when the device backend is the experimental axon stdio tunnel
+    (single relay process; concurrent device traffic from multiple host
+    threads wedges it — §Round 5c).  Standard PJRT runtimes return False."""
+    try:
+        dev = jax.devices()[0]
+        probes = (
+            getattr(dev.client, "platform_version", ""),
+            getattr(dev, "device_kind", ""),
+            type(dev).__name__,
+            type(dev.client).__name__,
+        )
+        return any("axon" in str(p).lower() for p in probes)
+    except Exception:  # pragma: no cover — no backend at all
+        return False
+
+
 class MCDOPredictor:
     """Warm end-to-end MCDO inference engine for one pipeline configuration.
 
-    Thread-compatible for request loops: all state is immutable after
-    construction (the per-bucket program cache only ever adds entries);
-    each call derives its PRNG stream from a per-request seed.  With a
-    ``bucket_spec``, requests embed at the smallest sufficient bucket
-    (see ``__init__``).
+    Thread-SAFE for concurrent request loops.  On standard PJRT runtimes
+    (CPU, PCIe TPU) host-side prep (pixel normalization, the subsampled
+    bucket estimate) and the host->device image upload run concurrently
+    across caller threads — the next request's ~79 MB image streams while
+    the current one computes — and only device execution serializes,
+    behind an internal bounded gate (``max_inflight``, default 1: the
+    HBM envelope in docs/PERFORMANCE.md §Round 5b is per in-flight
+    program).  On the experimental axon stdio tunnel (auto-detected;
+    ``pipelined_uploads`` overrides) everything from prep onward rides
+    inside the gate: concurrent device traffic wedges the relay outright,
+    and even concurrent host prep costs ~30% sustained throughput because
+    the relay is itself a host process (both measured —
+    docs/PERFORMANCE.md §Round 5c).  Each call derives its PRNG stream
+    from a per-request seed.  With a ``bucket_spec``, requests embed at
+    the smallest sufficient bucket (see ``__init__``).
     """
 
     def __init__(
@@ -88,6 +115,8 @@ class MCDOPredictor:
         quantized: bool = False,
         bucket_spec=None,
         oversized: str = "extend",
+        max_inflight: int = 1,
+        pipelined_uploads: bool | None = None,
     ):
         if oversized not in ("extend", "truncate"):
             raise ValueError(
@@ -153,7 +182,27 @@ class MCDOPredictor:
         import threading as _threading
 
         self._compiled: frozenset[int] = frozenset()
+        # Small-state lock: _compiled snapshot swaps, _infers build-once,
+        # and the truncation counter.  Never held across device work.
         self._compiled_lock = _threading.Lock()
+        if max_inflight < 1:
+            raise ValueError(f"max_inflight must be >= 1, got {max_inflight}")
+        # Serializes device EXECUTION only (uploads overlap; see class
+        # docstring).  >1 lets a compute overlap a fetch at the cost of
+        # one more program's transient HBM per extra slot.
+        self._execute_gate = _threading.BoundedSemaphore(max_inflight)
+        if pipelined_uploads is None:
+            # Concurrent device traffic from multiple host threads WEDGES
+            # the experimental axon stdio tunnel (measured: 2 requests
+            # served, then every device op hangs for tens of minutes —
+            # docs/PERFORMANCE.md §Round 5c), so prep + upload + execute +
+            # fetch all ride inside the execute gate there (see
+            # ``predict``).  Standard PJRT runtimes (CPU, PCIe TPU) take
+            # the pipelined path: JAX dispatch is thread-safe and the
+            # next request's image streams during the current request's
+            # compute.
+            pipelined_uploads = not _tunneled_runtime()
+        self._pipelined_uploads = pipelined_uploads
 
     def _mark_compiled(self, bucket: int) -> None:
         with self._compiled_lock:
@@ -203,9 +252,11 @@ class MCDOPredictor:
         # would report phantom truncations for bags that in fact fit.
         bucket = max(bucket_lo, bucket_hi)
         if over_lo and self.oversized != "extend":
-            self.truncated_requests += 1
-            if not self._warned_truncation:
+            with self._compiled_lock:
+                self.truncated_requests += 1
+                warn_now = not self._warned_truncation
                 self._warned_truncation = True
+            if warn_now:
                 import warnings
 
                 warnings.warn(
@@ -245,6 +296,20 @@ class MCDOPredictor:
         fn = self._infers.get(bucket)
         if fn is not None:
             return fn
+        # Build-once under the small-state lock: two request threads
+        # racing the miss path would otherwise create two distinct jit
+        # wrappers for the same bucket — two separate XLA compiles of an
+        # identical program.  The build only constructs the (untraced)
+        # wrapper; compilation happens at first call, outside this lock.
+        with self._compiled_lock:
+            fn = self._infers.get(bucket)
+            if fn is not None:
+                return fn
+            fn = self._build_infer(bucket)
+            self._infers[bucket] = fn
+            return fn
+
+    def _build_infer(self, bucket: int):
         from dataclasses import replace
 
         pipe = replace(self.pipeline, bucket=bucket)
@@ -319,7 +384,6 @@ class MCDOPredictor:
             # executable cache like everything else.
             return bag, y, a, predictive_stats(y), attention_stats(a, bag.mask)
 
-        self._infers[bucket] = _infer
         return _infer
 
     def _build_bag_fn(self):
@@ -560,11 +624,27 @@ class MCDOPredictor:
         size (~35 s through a tunneled runtime), a viewer-resolution k=8
         map is 1/64 of that.
         """
-        arr, inv_max = _prepare_image(image, pixel_max)
-        return self._predict_prepared(
-            arr, inv_max, laterality, seed=seed,
-            return_maps=return_maps, map_downsample=map_downsample,
-        )
+        if self._pipelined_uploads:
+            arr, inv_max = _prepare_image(image, pixel_max)
+            return self._predict_prepared(
+                arr, inv_max, laterality, seed=seed,
+                return_maps=return_maps, map_downsample=map_downsample,
+            )
+        # Tunneled runtime: the per-request host prep (a full-image numpy
+        # pass + the SAT bucket estimate) rides INSIDE the gate too.  The
+        # relay is a host process, so concurrent host work inflates
+        # in-flight device time (CLAUDE.md methodology item 3); measured
+        # at concurrency 8 on the full 7036x2800 geometry, concurrent
+        # prep costs ~30% sustained throughput (0.23 vs 0.33 req/s —
+        # docs/PERFORMANCE.md §Round 5c).  Request decode (np.load /
+        # JSON) still overlaps in the handler threads.
+        with self._execute_gate:
+            arr, inv_max = _prepare_image(image, pixel_max)
+            return self._predict_prepared(
+                arr, inv_max, laterality, seed=seed,
+                return_maps=return_maps, map_downsample=map_downsample,
+                _pre_gated=True,
+            )
 
     def _predict_prepared(
         self,
@@ -576,11 +656,14 @@ class MCDOPredictor:
         return_maps: bool = False,
         map_downsample: int = 1,
         bucket: int | None = None,
+        _pre_gated: bool = False,
     ) -> PredictionResult:
         """``predict`` after host-side image prep.  ``predict_many``'s
         oversized detour enters here so the prepared array and the bucket
         estimate (a full-image host pass + ~5 ms SAT at production size)
-        are not redone per request."""
+        are not redone per request.  ``_pre_gated``: the caller already
+        holds the execute gate (tunneled-runtime ``predict``) — don't
+        re-acquire it (the semaphore is not reentrant)."""
         flip = jnp.asarray(laterality == "R")
         if bucket is None:
             bucket = self._pick_bucket(arr, laterality)
@@ -594,38 +677,60 @@ class MCDOPredictor:
             done = sorted(b for b in self._compiled if b >= bucket)
             if done:
                 bucket = done[0]
-        # AOT-cached executable when one matches (exact shape + dtype);
-        # the jitted program otherwise.
-        aot = self._aot.get((bucket, arr.dtype.name))
-        if aot is not None and arr.shape == (
-            self.pipeline.height, self.pipeline.width
-        ):
-            bag, y, a, stats, att = aot(
-                jnp.asarray(arr),
-                flip,
-                jnp.asarray(seed, jnp.int32),
-                jnp.asarray(inv_max),
-            )
+        # Pipelined runtimes: start the host->device image upload BEFORE
+        # taking the execute gate — device_put enqueues the transfer and
+        # returns, so under concurrent callers request B's ~79 MB image
+        # streams while request A computes.  Tunneled runtimes (axon):
+        # ship the host array and let the gated call upload it — any
+        # device traffic outside the gate wedges the relay (§Round 5c).
+        dev = jax.device_put(arr) if self._pipelined_uploads else arr
+        if _pre_gated:
+            import contextlib
+
+            gate = contextlib.nullcontext()
         else:
-            bag, y, a, stats, att = self._infer_for(bucket)(
-                arr,
-                flip,
-                jnp.asarray(seed, jnp.int32),
-                inv_max,
+            gate = self._execute_gate
+        with gate:
+            # AOT-cached executable when one matches (exact shape +
+            # dtype); the jitted program otherwise.
+            aot = self._aot.get((bucket, arr.dtype.name))
+            if aot is not None and arr.shape == (
+                self.pipeline.height, self.pipeline.width
+            ):
+                bag, y, a, stats, att = aot(
+                    jnp.asarray(dev),
+                    flip,
+                    jnp.asarray(seed, jnp.int32),
+                    jnp.asarray(inv_max),
+                )
+            else:
+                bag, y, a, stats, att = self._infer_for(bucket)(
+                    dev,
+                    flip,
+                    jnp.asarray(seed, jnp.int32),
+                    inv_max,
+                )
+                self._mark_compiled(bucket)
+            maps = None
+            if return_maps:
+                maps = attention_map_stats(
+                    a, bag.tile_indices, bag.mask, self._grid,
+                    downsample=map_downsample,
+                )
+            if not self._pipelined_uploads:
+                # Tunneled runtime: the readback is device traffic too —
+                # keep it inside the gate (see __init__).
+                stats, att, n_inst, maps = jax.device_get(
+                    (stats, att, bag.num_instances, maps)
+                )
+        if self._pipelined_uploads:
+            # One batched host fetch: each device_get is a full round trip
+            # (~25 ms on tunneled runtimes), so everything the result
+            # needs comes back in a single transfer.  Outside the gate —
+            # the next request's compute overlaps this one's readback.
+            stats, att, n_inst, maps = jax.device_get(
+                (stats, att, bag.num_instances, maps)
             )
-            self._mark_compiled(bucket)
-        maps = None
-        if return_maps:
-            maps = attention_map_stats(
-                a, bag.tile_indices, bag.mask, self._grid,
-                downsample=map_downsample,
-            )
-        # One batched host fetch: each device_get is a full round trip
-        # (~25 ms on tunneled runtimes), so everything the result needs
-        # comes back in a single transfer.
-        stats, att, n_inst, maps = jax.device_get(
-            (stats, att, bag.num_instances, maps)
-        )
         return PredictionResult(
             prediction=int(stats.prediction),
             stats=stats,

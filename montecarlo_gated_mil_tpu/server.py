@@ -23,8 +23,8 @@ size they are hundreds of MB each and are never inlined over HTTP.
 fetch (viewer resolution at 1/k² the bytes; exact box mean of the
 full-resolution map).
 
-HTTP mode (stdlib ``http.server``; one process, requests serialized around
-the device)::
+HTTP mode (stdlib ``http.server``; one process, threaded — device
+execution gated inside the predictor, uploads overlap)::
 
     GET  /healthz            -> {"status": "ok", ...}
     POST /predict            <- {"image": [[...]] | "image_path": "...",
@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
@@ -263,7 +262,6 @@ def serve_jsonl(
 
 class _Handler(BaseHTTPRequestHandler):
     predictor: MCDOPredictor = None  # set by make_server
-    lock: threading.Lock = None
     maps_dir: str = None
     counter = None  # itertools.count, set by make_server
     data_root: str = None  # image_path requests allowed only under this root
@@ -332,24 +330,28 @@ class _Handler(BaseHTTPRequestHandler):
             return
         want_maps = bool(req.get("maps", False))
         try:
-            with self.lock:
-                r = self.predictor.predict(
-                    img,
-                    req.get("laterality", "L"),
-                    seed=seed,
-                    return_maps=want_maps,
-                    map_downsample=map_downsample,
-                    pixel_max=pixel_max,
+            # No lock here: MCDOPredictor is thread-safe and gates device
+            # execution internally (serve.py ``max_inflight``), so request
+            # threads overlap host decode + image upload with the current
+            # request's device work instead of serializing end-to-end
+            # (docs/PERFORMANCE.md §Round 5c).
+            r = self.predictor.predict(
+                img,
+                req.get("laterality", "L"),
+                seed=seed,
+                return_maps=want_maps,
+                map_downsample=map_downsample,
+                pixel_max=pixel_max,
+            )
+            prefix = None
+            if want_maps:
+                # Maps are full-resolution (hundreds of MB at production
+                # size): always written as server-side .npy artifacts,
+                # never inlined into the JSON response.
+                os.makedirs(self.maps_dir, exist_ok=True)
+                prefix = os.path.join(
+                    self.maps_dir, f"request_{next(self.counter):05d}"
                 )
-                prefix = None
-                if want_maps:
-                    # Maps are full-resolution (hundreds of MB at production
-                    # size): always written as server-side .npy artifacts,
-                    # never inlined into the JSON response.
-                    os.makedirs(self.maps_dir, exist_ok=True)
-                    prefix = os.path.join(
-                        self.maps_dir, f"request_{next(self.counter):05d}"
-                    )
             payload = result_to_dict(r, maps_prefix=prefix)
         except Exception as e:  # noqa: BLE001 — client gets JSON, not a dropped socket
             self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -366,9 +368,12 @@ def make_server(
 ) -> ThreadingHTTPServer:
     """HTTP server wrapping a warm predictor (call ``serve_forever`` on it).
 
-    Requests are serialized around the device with a lock: one chip runs one
-    bag at a time anyway (bag-batching measured negative,
-    docs/PERFORMANCE.md), so concurrency buys queueing, not throughput.
+    Request threads run concurrently: the predictor is thread-safe and
+    serializes device execution internally behind its ``max_inflight``
+    gate, so under load the host-side decode and the ~79 MB image upload
+    of queued requests overlap the in-flight request's device work
+    (measured sustained throughput + latency: docs/PERFORMANCE.md
+    §Round 5c).
     Attention maps requested via ``"maps": true`` are written to
     ``maps_dir`` (default: a fresh temp directory) as ``.npy`` artifacts,
     with the paths in the response.  ``data_root`` confines ``image_path``
@@ -384,7 +389,6 @@ def make_server(
         "Handler", (_Handler,),
         {
             "predictor": predictor,
-            "lock": threading.Lock(),
             "maps_dir": maps_dir,
             "counter": itertools.count(),
             "data_root": data_root,

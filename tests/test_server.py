@@ -180,6 +180,104 @@ def test_http_server(predictor):
 
 
 @pytest.mark.slow
+def test_http_server_concurrent_requests_are_correct(predictor, tmp_path):
+    """N threads hammering /predict concurrently each get the exact answer
+    the serial ``predict()`` gives for their (image, seed) — i.e. the
+    predictor's internal execute gate really does protect device state,
+    and the threaded front-end drops nothing under contention (soak
+    counterpart: ``tools/measure_serving.py --concurrency``)."""
+    import http.client
+
+    imgs = {}
+    for i in range(2):
+        img = synthetic_image(128, 128, positive=bool(i), seed=30 + i)
+        np.save(tmp_path / f"img_{i}.npy", np.asarray(img))
+        imgs[str(tmp_path / f"img_{i}.npy")] = img
+
+    srv = make_server(predictor, port=0, data_root=str(tmp_path))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    paths = sorted(imgs)
+    results: dict[int, dict] = {}
+    errors: list[str] = []
+
+    def client(ci: int) -> None:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        try:
+            for r in range(3):
+                seed = ci * 10 + r
+                body = json.dumps(
+                    {"image_path": paths[seed % 2], "seed": seed}
+                ).encode()
+                conn.request(
+                    "POST", "/predict", body,
+                    {"Content-Type": "application/json"},
+                )
+                resp = conn.getresponse()
+                payload = json.loads(resp.read())
+                if resp.status != 200:
+                    errors.append(f"seed {seed}: {resp.status} {payload}")
+                else:
+                    results[seed] = payload
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            errors.append(f"client {ci}: {type(e).__name__}: {e}")
+        finally:
+            conn.close()
+
+    try:
+        threads = [
+            threading.Thread(target=client, args=(ci,)) for ci in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(results) == 24
+        for seed, got in results.items():
+            want = predictor.predict(imgs[paths[seed % 2]], seed=seed)
+            assert got["prediction"] == want.prediction, seed
+            np.testing.assert_allclose(
+                got["p_mean"], float(want.stats.mean), atol=1e-6
+            )
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+@pytest.mark.slow
+def test_gated_upload_branch_matches_pipelined(predictor):
+    """The tunneled-runtime branch (all device traffic inside the execute
+    gate, ``pipelined_uploads=False``) returns bit-identical results to
+    the default pipelined branch — the two code paths differ only in
+    WHERE the upload/readback happen, never in what is computed."""
+    gated = build_predictor(_cfg(), pipelined_uploads=False, max_inflight=2)
+    assert gated._pipelined_uploads is False
+    img = synthetic_image(128, 128, positive=True, seed=41)
+    want = predictor.predict(img, seed=7, return_maps=True)
+    got = gated.predict(img, seed=7, return_maps=True)
+    assert got.prediction == want.prediction
+    assert got.num_instances == want.num_instances
+    np.testing.assert_array_equal(
+        np.asarray(got.stats.mean), np.asarray(want.stats.mean)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.attention_mean_maps),
+        np.asarray(want.attention_mean_maps),
+    )
+
+
+def test_max_inflight_validated():
+    from montecarlo_gated_mil_tpu.serve import _tunneled_runtime
+
+    with pytest.raises(ValueError, match="max_inflight"):
+        build_predictor(_cfg(), max_inflight=0)
+    # On the CPU test backend the tunnel heuristic must say False —
+    # otherwise every CPU test above would silently run the gated branch.
+    assert _tunneled_runtime() is False
+
+
+@pytest.mark.slow
 def test_cli_serve_jsonl(tmp_path):
     import yaml
 
